@@ -1,0 +1,624 @@
+"""FLUX.1-style diffusion transformer, TPU-native.
+
+A from-scratch JAX implementation of the architecture the reference drives
+through diffusers' ``FluxTransformer2DModel`` (wrapped by
+/root/reference/src/flux/transformer.py and /root/reference/src/flux/block.py),
+extended with the OminiControl condition-token stream:
+
+  * dual-stream ("double") blocks: separate txt/img/cond adaLN + QKV with a
+    single unified attention over [txt | img | cond];
+  * single-stream blocks over the concatenated [txt+img] sequence (+ cond);
+  * per-head RMS q/k norms, 3-axis RoPE, adaLN-zero modulation;
+  * condition tokens get their own RoPE ids and a separate ``cond_temb``
+    evaluated at the fixed condition timestep c_t (reference:
+    transformer.py:108-114);
+  * attention-mask modes ``union_cond_attn`` / ``independent_condition`` /
+    ``c_factor`` (reference: block.py:106-128).
+
+Design differences from the reference (deliberate, TPU-first):
+  * blocks are *stacked* pytrees iterated with ``jax.lax.scan`` — one compiled
+    block body instead of 57 unrolled ones; remat is a scan-level policy;
+  * no in-place module mutation (``c_factor`` is an argument, not an
+    attribute);
+  * LoRA lives inside the param tree as optional (lora_a, lora_b) leaves per
+    linear; the reference's ``enable_lora``/latent_lora gating maps to the
+    static ``use_lora`` flag threaded to each call site (lora_controller.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from loongx_tpu.ops import rope as rope_ops
+from loongx_tpu.ops.attention import unified_attention
+from loongx_tpu.ops.nn import (
+    Params,
+    init_layer_norm,
+    init_linear,
+    init_rms_norm,
+    layer_norm,
+    rms_norm,
+    silu,
+    gelu_tanh,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64
+    num_heads: int = 24
+    head_dim: int = 128
+    num_double_blocks: int = 19
+    num_single_blocks: int = 38
+    joint_dim: int = 4096  # T5 hidden size (encoder_hidden_states)
+    pooled_dim: int = 768  # CLIP pooled projection size
+    guidance_embeds: bool = True
+    axes_dims: Tuple[int, ...] = (16, 56, 56)
+    theta: float = 10000.0
+    mlp_ratio: int = 4
+    time_embed_channels: int = 256
+
+    @property
+    def hidden(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @staticmethod
+    def flux_dev() -> "FluxConfig":
+        return FluxConfig()
+
+    @staticmethod
+    def flux_schnell() -> "FluxConfig":
+        return FluxConfig(guidance_embeds=False)
+
+    @staticmethod
+    def tiny(guidance: bool = True) -> "FluxConfig":
+        """A miniature config for tests: same topology, tiny dims."""
+        return FluxConfig(
+            in_channels=16,
+            num_heads=2,
+            head_dim=32,
+            num_double_blocks=2,
+            num_single_blocks=2,
+            joint_dim=32,
+            pooled_dim=16,
+            guidance_embeds=guidance,
+            axes_dims=(8, 12, 12),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Param init
+# ---------------------------------------------------------------------------
+
+
+def _init_attn(key, cfg: FluxConfig, dual: bool, dtype) -> Params:
+    h = cfg.hidden
+    keys = jax.random.split(key, 8)
+    p: Params = {
+        "to_q": init_linear(keys[0], h, h, dtype=dtype),
+        "to_k": init_linear(keys[1], h, h, dtype=dtype),
+        "to_v": init_linear(keys[2], h, h, dtype=dtype),
+        "norm_q": init_rms_norm(cfg.head_dim, dtype),
+        "norm_k": init_rms_norm(cfg.head_dim, dtype),
+    }
+    if dual:
+        p.update(
+            {
+                "add_q_proj": init_linear(keys[3], h, h, dtype=dtype),
+                "add_k_proj": init_linear(keys[4], h, h, dtype=dtype),
+                "add_v_proj": init_linear(keys[5], h, h, dtype=dtype),
+                "norm_added_q": init_rms_norm(cfg.head_dim, dtype),
+                "norm_added_k": init_rms_norm(cfg.head_dim, dtype),
+                "to_out": init_linear(keys[6], h, h, dtype=dtype),
+                "to_add_out": init_linear(keys[7], h, h, dtype=dtype),
+            }
+        )
+    return p
+
+
+def _init_double_block(key, cfg: FluxConfig, dtype) -> Params:
+    h = cfg.hidden
+    mlp = cfg.mlp_ratio * h
+    keys = jax.random.split(key, 7)
+    return {
+        "norm1": {"linear": init_linear(keys[0], h, 6 * h, dtype=dtype)},
+        "norm1_context": {"linear": init_linear(keys[1], h, 6 * h, dtype=dtype)},
+        "attn": _init_attn(keys[2], cfg, dual=True, dtype=dtype),
+        "ff": {
+            "in": init_linear(keys[3], h, mlp, dtype=dtype),
+            "out": init_linear(keys[4], mlp, h, dtype=dtype),
+        },
+        "ff_context": {
+            "in": init_linear(keys[5], h, mlp, dtype=dtype),
+            "out": init_linear(keys[6], mlp, h, dtype=dtype),
+        },
+    }
+
+
+def _init_single_block(key, cfg: FluxConfig, dtype) -> Params:
+    h = cfg.hidden
+    mlp = cfg.mlp_ratio * h
+    keys = jax.random.split(key, 4)
+    return {
+        "norm": {"linear": init_linear(keys[0], h, 3 * h, dtype=dtype)},
+        "attn": _init_attn(keys[1], cfg, dual=False, dtype=dtype),
+        "proj_mlp": init_linear(keys[2], h, mlp, dtype=dtype),
+        "proj_out": init_linear(keys[3], h + mlp, h, dtype=dtype),
+    }
+
+
+def _stack_blocks(init_fn, key, n: int) -> Params:
+    """Init n blocks and stack their leaves on a leading axis (for lax.scan)."""
+    keys = jax.random.split(key, n)
+    blocks = [init_fn(k) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def init_flux_params(
+    key: jax.Array, cfg: FluxConfig, dtype=jnp.bfloat16
+) -> Params:
+    h = cfg.hidden
+    tc = cfg.time_embed_channels
+    keys = jax.random.split(key, 10)
+    params: Params = {
+        "x_embedder": init_linear(keys[0], cfg.in_channels, h, dtype=dtype),
+        "context_embedder": init_linear(keys[1], cfg.joint_dim, h, dtype=dtype),
+        "time_in": {
+            "in_layer": init_linear(keys[2], tc, h, dtype=dtype),
+            "out_layer": init_linear(keys[3], h, h, dtype=dtype),
+        },
+        "vector_in": {
+            "in_layer": init_linear(keys[4], cfg.pooled_dim, h, dtype=dtype),
+            "out_layer": init_linear(keys[5], h, h, dtype=dtype),
+        },
+        "double_blocks": _stack_blocks(
+            lambda k: _init_double_block(k, cfg, dtype), keys[6], cfg.num_double_blocks
+        ),
+        "single_blocks": _stack_blocks(
+            lambda k: _init_single_block(k, cfg, dtype), keys[7], cfg.num_single_blocks
+        ),
+        "norm_out": {"linear": init_linear(keys[8], h, 2 * h, dtype=dtype)},
+        "proj_out": init_linear(keys[9], h, cfg.in_channels, dtype=dtype),
+    }
+    if cfg.guidance_embeds:
+        gk1, gk2 = jax.random.split(jax.random.fold_in(key, 77))
+        params["guidance_in"] = {
+            "in_layer": init_linear(gk1, tc, h, dtype=dtype),
+            "out_layer": init_linear(gk2, h, h, dtype=dtype),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# LoRA-aware linear
+# ---------------------------------------------------------------------------
+
+
+def linear(p: Params, x: jnp.ndarray, use_lora: bool = True) -> jnp.ndarray:
+    """Linear with optional fused LoRA delta: y = xW + b [+ (xA)B * scale].
+
+    The (lora_a, lora_b, lora_scale) leaves are added by train/lora.py; the
+    ``use_lora`` flag reproduces the reference's enable_lora gating
+    (src/flux/lora_controller.py:5-42).
+    """
+    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    if use_lora and "lora_a" in p:
+        y = y + jnp.dot(
+            jnp.dot(x, p["lora_a"], preferred_element_type=jnp.float32).astype(
+                x.dtype
+            ),
+            p["lora_b"],
+            preferred_element_type=jnp.float32,
+        ) * p["lora_scale"]
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(
+    t: jnp.ndarray, dim: int, max_period: float = 10000.0
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, flip_sin_to_cos=True, shift=0 (matches
+    diffusers ``Timesteps`` as configured for FLUX).  t: [B] (already scaled
+    by 1000)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def _time_mlp(p: Params, emb: jnp.ndarray, dtype) -> jnp.ndarray:
+    h = linear(p["in_layer"], emb.astype(dtype), use_lora=False)
+    return linear(p["out_layer"], silu(h), use_lora=False)
+
+
+def combined_timestep_embed(
+    params: Params,
+    cfg: FluxConfig,
+    timestep: jnp.ndarray,
+    pooled: jnp.ndarray,
+    guidance: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """temb = MLP(sin(t*1000)) [+ MLP(sin(g*1000))] + MLP(pooled).  Matches
+    diffusers CombinedTimestepGuidanceTextProjEmbeddings."""
+    dtype = pooled.dtype
+    t_emb = _time_mlp(
+        params["time_in"], timestep_embedding(timestep, cfg.time_embed_channels), dtype
+    )
+    if cfg.guidance_embeds:
+        assert guidance is not None, "guidance_embeds=True requires guidance"
+        g_emb = _time_mlp(
+            params["guidance_in"],
+            timestep_embedding(guidance, cfg.time_embed_channels),
+            dtype,
+        )
+        t_emb = t_emb + g_emb
+    pool_h = linear(params["vector_in"]["in_layer"], pooled, use_lora=False)
+    pool_emb = linear(params["vector_in"]["out_layer"], silu(pool_h), use_lora=False)
+    return t_emb + pool_emb
+
+
+# ---------------------------------------------------------------------------
+# Block primitives
+# ---------------------------------------------------------------------------
+
+
+def _ada_ln_zero(
+    p: Params, x: jnp.ndarray, temb: jnp.ndarray, n_chunks: int, use_lora: bool
+):
+    """adaLN-Zero: LN(x) modulated by chunks of linear(silu(temb)).
+
+    Returns (modulated_x, [remaining chunk tensors...]).  Chunk order matches
+    diffusers AdaLayerNormZero: shift_msa, scale_msa, gate_msa, shift_mlp,
+    scale_mlp, gate_mlp (dual) / shift, scale, gate (single)."""
+    mod = linear(p["linear"], silu(temb), use_lora=use_lora)
+    chunks = jnp.split(mod, n_chunks, axis=-1)
+    shift, scale = chunks[0], chunks[1]
+    normed = layer_norm(x)
+    out = normed * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    return out, chunks[2:]
+
+
+def _qkv(
+    attn: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    prefix: str = "to",
+    use_lora: bool = True,
+):
+    """Project + split heads + per-head RMS q/k norm.  Returns [B,H,S,Dh]x3."""
+    if prefix == "to":
+        q = linear(attn["to_q"], x, use_lora)
+        k = linear(attn["to_k"], x, use_lora)
+        v = linear(attn["to_v"], x, use_lora)
+        nq, nk = attn["norm_q"], attn["norm_k"]
+    else:  # context ("added") projections — never LoRA-targeted
+        q = linear(attn["add_q_proj"], x, use_lora=False)
+        k = linear(attn["add_k_proj"], x, use_lora=False)
+        v = linear(attn["add_v_proj"], x, use_lora=False)
+        nq, nk = attn["norm_added_q"], attn["norm_added_k"]
+    b, s, _ = q.shape
+
+    def split(t):
+        return t.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    q = rms_norm(q, nq["weight"])
+    k = rms_norm(k, nk["weight"])
+    return q, k, v
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _apply_rope_qk(q, k, cos, sin):
+    return rope_ops.apply_rope(q, cos, sin), rope_ops.apply_rope(k, cos, sin)
+
+
+def double_block_forward(
+    block: Params,
+    cfg: FluxConfig,
+    img: jnp.ndarray,
+    txt: jnp.ndarray,
+    cond: Optional[jnp.ndarray],
+    temb: jnp.ndarray,
+    cond_temb: Optional[jnp.ndarray],
+    rope_ti: Tuple[jnp.ndarray, jnp.ndarray],
+    rope_c: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    flags: Dict[str, Any],
+    c_factor: Optional[jnp.ndarray],
+    attn_backend: str,
+):
+    """One dual-stream block (reference: block.py:179-278)."""
+    use_cond = cond is not None
+    latent_lora = bool(flags.get("latent_lora", False))
+    nh = cfg.num_heads
+
+    norm_img, (gate_msa, shift_mlp, scale_mlp, gate_mlp) = _ada_ln_zero(
+        block["norm1"], img, temb, 6, use_lora=latent_lora
+    )
+    norm_txt, (c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp) = _ada_ln_zero(
+        block["norm1_context"], txt, temb, 6, use_lora=False
+    )
+    if use_cond:
+        norm_cond, (g_msa_c, sh_mlp_c, sc_mlp_c, g_mlp_c) = _ada_ln_zero(
+            block["norm1"], cond, cond_temb, 6, use_lora=True
+        )
+
+    attn = block["attn"]
+    q_i, k_i, v_i = _qkv(attn, norm_img, nh, "to", use_lora=latent_lora)
+    q_t, k_t, v_t = _qkv(attn, norm_txt, nh, "add", use_lora=False)
+    # Sequence order [txt | img] (reference: block.py:70-72 concatenates
+    # encoder projections first).
+    q = jnp.concatenate([q_t, q_i], axis=2)
+    k = jnp.concatenate([k_t, k_i], axis=2)
+    v = jnp.concatenate([v_t, v_i], axis=2)
+    q, k = _apply_rope_qk(q, k, *rope_ti)
+
+    cond_len = 0
+    if use_cond:
+        q_c, k_c, v_c = _qkv(attn, norm_cond, nh, "to", use_lora=True)
+        q_c, k_c = _apply_rope_qk(q_c, k_c, *rope_c)
+        q = jnp.concatenate([q, q_c], axis=2)
+        k = jnp.concatenate([k, k_c], axis=2)
+        v = jnp.concatenate([v, v_c], axis=2)
+        cond_len = norm_cond.shape[1]
+
+    mode = "union"
+    if not flags.get("union_cond_attn", True):
+        mode = "no_union"
+    elif flags.get("independent_condition", False):
+        mode = "independent"
+    out = unified_attention(
+        q, k, v, cond_len=cond_len, mode=mode, c_factor=c_factor,
+        backend=attn_backend,
+    )
+    out = _merge_heads(out)
+
+    s_t = txt.shape[1]
+    s_i = img.shape[1]
+    attn_txt = out[:, :s_t]
+    attn_img = out[:, s_t : s_t + s_i]
+    attn_img = linear(attn["to_out"], attn_img, use_lora=latent_lora)
+    attn_txt = linear(attn["to_add_out"], attn_txt, use_lora=False)
+
+    img = img + gate_msa[:, None, :] * attn_img
+    txt = txt + c_gate_msa[:, None, :] * attn_txt
+    if use_cond:
+        attn_cond = linear(attn["to_out"], out[:, s_t + s_i :], use_lora=True)
+        gated_cond = g_msa_c[:, None, :] * attn_cond
+        cond = cond + gated_cond
+        if flags.get("add_cond_attn", False):
+            img = img + gated_cond
+
+    # MLPs
+    def mlp(ff: Params, x, shift, scale, gate, use_lora_flag):
+        h = layer_norm(x) * (1.0 + scale[:, None, :]) + shift[:, None, :]
+        h = linear(ff["in"], h, use_lora=False)
+        h = gelu_tanh(h)
+        h = linear(ff["out"], h, use_lora=use_lora_flag)
+        return gate[:, None, :] * h
+
+    img = img + mlp(block["ff"], img, shift_mlp, scale_mlp, gate_mlp, latent_lora)
+    txt = txt + mlp(
+        block["ff_context"], txt, c_shift_mlp, c_scale_mlp, c_gate_mlp, False
+    )
+    if use_cond:
+        cond = cond + mlp(block["ff"], cond, sh_mlp_c, sc_mlp_c, g_mlp_c, True)
+    return txt, img, cond
+
+
+def single_block_forward(
+    block: Params,
+    cfg: FluxConfig,
+    x: jnp.ndarray,
+    cond: Optional[jnp.ndarray],
+    temb: jnp.ndarray,
+    cond_temb: Optional[jnp.ndarray],
+    rope_ti: Tuple[jnp.ndarray, jnp.ndarray],
+    rope_c: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    flags: Dict[str, Any],
+    c_factor: Optional[jnp.ndarray],
+    attn_backend: str,
+):
+    """One single-stream block over [txt+img] (+ cond)
+    (reference: block.py:281-339)."""
+    use_cond = cond is not None
+    latent_lora = bool(flags.get("latent_lora", False))
+    nh = cfg.num_heads
+    residual = x
+
+    norm_x, (gate,) = _ada_ln_zero(block["norm"], x, temb, 3, use_lora=latent_lora)
+    mlp_h = gelu_tanh(linear(block["proj_mlp"], norm_x, use_lora=latent_lora))
+    if use_cond:
+        residual_cond = cond
+        norm_cond, (cond_gate,) = _ada_ln_zero(
+            block["norm"], cond, cond_temb, 3, use_lora=True
+        )
+        mlp_cond = gelu_tanh(linear(block["proj_mlp"], norm_cond, use_lora=True))
+
+    attn = block["attn"]
+    q, k, v = _qkv(attn, norm_x, nh, "to", use_lora=latent_lora)
+    q, k = _apply_rope_qk(q, k, *rope_ti)
+    cond_len = 0
+    if use_cond:
+        q_c, k_c, v_c = _qkv(attn, norm_cond, nh, "to", use_lora=True)
+        q_c, k_c = _apply_rope_qk(q_c, k_c, *rope_c)
+        q = jnp.concatenate([q, q_c], axis=2)
+        k = jnp.concatenate([k, k_c], axis=2)
+        v = jnp.concatenate([v, v_c], axis=2)
+        cond_len = norm_cond.shape[1]
+
+    mode = "union"
+    if not flags.get("union_cond_attn", True):
+        mode = "no_union"
+    elif flags.get("independent_condition", False):
+        mode = "independent"
+    out = unified_attention(
+        q, k, v, cond_len=cond_len, mode=mode, c_factor=c_factor,
+        backend=attn_backend,
+    )
+    out = _merge_heads(out)
+
+    s_x = x.shape[1]
+    attn_x = out[:, :s_x]
+    h = jnp.concatenate([attn_x, mlp_h], axis=-1)
+    x = residual + gate[:, None, :] * linear(
+        block["proj_out"], h, use_lora=latent_lora
+    )
+    if use_cond:
+        h_c = jnp.concatenate([out[:, s_x:], mlp_cond], axis=-1)
+        cond = residual_cond + cond_gate[:, None, :] * linear(
+            block["proj_out"], h_c, use_lora=True
+        )
+    return x, cond
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+
+def flux_forward(
+    params: Params,
+    cfg: FluxConfig,
+    *,
+    img: jnp.ndarray,
+    txt: jnp.ndarray,
+    pooled: jnp.ndarray,
+    timestep: jnp.ndarray,
+    img_ids: jnp.ndarray,
+    txt_ids: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+    cond: Optional[jnp.ndarray] = None,
+    cond_ids: Optional[jnp.ndarray] = None,
+    flags: Optional[Dict[str, Any]] = None,
+    c_t: float = 0.0,
+    c_factor: Optional[jnp.ndarray] = None,
+    attn_backend: str = "auto",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Full conditioned FLUX forward (reference: transformer.py:47-252).
+
+    Args:
+      img: [B, S_img, in_channels] packed latent tokens.
+      txt: [B, S_txt, joint_dim] T5 embeddings.
+      pooled: [B, pooled_dim] CLIP pooled embedding.
+      timestep: [B] in [0, 1] (will be scaled by 1000 internally).
+      guidance: [B] guidance scale (dev only), scaled by 1000 internally.
+      img_ids/txt_ids: [S, 3] position ids; cond_ids likewise.
+      cond: [B, S_cond, in_channels] condition latent tokens or None.
+      flags: model flag dict (union_cond_attn / add_cond_attn / latent_lora /
+        independent_condition).
+      c_t: fixed condition timestep (0 in reference).
+      c_factor: optional traced condition-strength scalar.
+      remat: rematerialise each block (gradient checkpointing).
+
+    Returns: [B, S_img, in_channels] velocity prediction.
+    """
+    flags = flags or {}
+    use_cond = cond is not None
+    latent_lora = bool(flags.get("latent_lora", False))
+
+    img_h = linear(params["x_embedder"], img, use_lora=latent_lora)
+    cond_h = (
+        linear(params["x_embedder"], cond, use_lora=True) if use_cond else None
+    )
+    txt_h = linear(params["context_embedder"], txt, use_lora=False)
+
+    t1000 = timestep.astype(jnp.float32) * 1000.0
+    g1000 = (
+        guidance.astype(jnp.float32) * 1000.0
+        if (guidance is not None and cfg.guidance_embeds)
+        else None
+    )
+    temb = combined_timestep_embed(params, cfg, t1000, pooled, g1000)
+    cond_temb = None
+    if use_cond:
+        ct = jnp.full_like(t1000, c_t * 1000.0)
+        cond_temb = combined_timestep_embed(params, cfg, ct, pooled, g1000)
+
+    ids_ti = jnp.concatenate([txt_ids, img_ids], axis=0)
+    rope_ti = rope_ops.rope_embed(ids_ti, cfg.axes_dims, cfg.theta)
+    rope_c = (
+        rope_ops.rope_embed(cond_ids, cfg.axes_dims, cfg.theta) if use_cond else None
+    )
+
+    # --- double blocks (scan over stacked params) ---
+    def double_body(carry, block):
+        txt_c, img_c, cond_c = carry
+        txt_c, img_c, cond_c = double_block_forward(
+            block, cfg, img_c, txt_c, cond_c, temb, cond_temb, rope_ti, rope_c,
+            flags, c_factor, attn_backend,
+        )
+        return (txt_c, img_c, cond_c), None
+
+    body = double_body
+    if remat:
+        body = jax.checkpoint(double_body, prevent_cse=False)
+    if use_cond:
+        (txt_h, img_h, cond_h), _ = jax.lax.scan(
+            body, (txt_h, img_h, cond_h), params["double_blocks"]
+        )
+    else:
+        # Keep the carry structure static (no None in scan carries).
+        def body2(carry, block):
+            (t, i), _ = carry, None
+            t, i, _c = double_block_forward(
+                block, cfg, i, t, None, temb, None, rope_ti, None, flags,
+                c_factor, attn_backend,
+            )
+            return (t, i), None
+
+        b2 = jax.checkpoint(body2, prevent_cse=False) if remat else body2
+        (txt_h, img_h), _ = jax.lax.scan(b2, (txt_h, img_h), params["double_blocks"])
+
+    # --- single blocks over [txt | img] ---
+    x = jnp.concatenate([txt_h, img_h], axis=1)
+
+    def single_body(carry, block):
+        x_c, cond_c = carry
+        x_c, cond_c = single_block_forward(
+            block, cfg, x_c, cond_c, temb, cond_temb, rope_ti, rope_c, flags,
+            c_factor, attn_backend,
+        )
+        return (x_c, cond_c), None
+
+    if use_cond:
+        sb = jax.checkpoint(single_body, prevent_cse=False) if remat else single_body
+        (x, cond_h), _ = jax.lax.scan(sb, (x, cond_h), params["single_blocks"])
+    else:
+        def single_body2(x_c, block):
+            x_c, _ = single_block_forward(
+                block, cfg, x_c, None, temb, None, rope_ti, None, flags,
+                c_factor, attn_backend,
+            )
+            return x_c, None
+
+        sb2 = (
+            jax.checkpoint(single_body2, prevent_cse=False) if remat else single_body2
+        )
+        x, _ = jax.lax.scan(sb2, x, params["single_blocks"])
+
+    x = x[:, txt_h.shape[1] :]
+
+    # AdaLayerNormContinuous: scale first, then shift (diffusers order).
+    mod = linear(params["norm_out"]["linear"], silu(temb), use_lora=False)
+    scale, shift = jnp.split(mod, 2, axis=-1)
+    x = layer_norm(x) * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    return linear(params["proj_out"], x, use_lora=False)

@@ -1,0 +1,157 @@
+"""T5 v1.1 encoder in JAX (FLUX's primary text encoder).
+
+TPU-native replacement for the T5-XXL encoder the reference uses through
+``pipeline.encode_prompt`` (/root/reference/src/flux/pipeline_tools.py:36-49).
+T5 v1.1-XXL: d_model=4096, 24 layers, 64 heads, d_kv=64, d_ff=10240,
+gated-GELU feed-forward, RMSNorm, relative position bias shared from layer 0,
+no attention-score scaling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loongx_tpu.ops.nn import Params, init_linear, rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 4096
+    d_kv: int = 64
+    d_ff: int = 10240
+    num_layers: int = 24
+    num_heads: int = 64
+    rel_pos_buckets: int = 32
+    rel_pos_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+
+    @staticmethod
+    def xxl() -> "T5Config":
+        return T5Config()
+
+    @staticmethod
+    def tiny() -> "T5Config":
+        return T5Config(
+            vocab_size=128, d_model=32, d_kv=8, d_ff=64, num_layers=2, num_heads=4
+        )
+
+
+def _init_block(key, cfg: T5Config, dtype) -> Params:
+    inner = cfg.num_heads * cfg.d_kv
+    ks = jax.random.split(key, 7)
+    return {
+        "ln_attn": {"weight": jnp.ones((cfg.d_model,), dtype)},
+        "q": init_linear(ks[0], cfg.d_model, inner, bias=False, dtype=dtype),
+        "k": init_linear(ks[1], cfg.d_model, inner, bias=False, dtype=dtype),
+        "v": init_linear(ks[2], cfg.d_model, inner, bias=False, dtype=dtype),
+        "o": init_linear(ks[3], inner, cfg.d_model, bias=False, dtype=dtype),
+        "ln_ff": {"weight": jnp.ones((cfg.d_model,), dtype)},
+        "wi_0": init_linear(ks[4], cfg.d_model, cfg.d_ff, bias=False, dtype=dtype),
+        "wi_1": init_linear(ks[5], cfg.d_model, cfg.d_ff, bias=False, dtype=dtype),
+        "wo": init_linear(ks[6], cfg.d_ff, cfg.d_model, bias=False, dtype=dtype),
+    }
+
+
+def init_t5_params(key, cfg: T5Config, dtype=jnp.bfloat16) -> Params:
+    k_emb, k_rel, k_blocks = jax.random.split(key, 3)
+    block_keys = jax.random.split(k_blocks, cfg.num_layers)
+    blocks = [_init_block(k, cfg, dtype) for k in block_keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return {
+        "embed": jax.random.normal(k_emb, (cfg.vocab_size, cfg.d_model)).astype(dtype),
+        "rel_pos_bias": jax.random.normal(
+            k_rel, (cfg.rel_pos_buckets, cfg.num_heads)
+        ).astype(dtype)
+        * 0.02,
+        "blocks": stacked,
+        "final_ln": {"weight": jnp.ones((cfg.d_model,), dtype)},
+    }
+
+
+def _relative_position_bucket(
+    rel_pos: jnp.ndarray, num_buckets: int, max_distance: int
+) -> jnp.ndarray:
+    """Bidirectional T5 relative-position bucketing."""
+    num_buckets //= 2
+    ret = jnp.where(rel_pos > 0, num_buckets, 0)
+    n = jnp.abs(rel_pos)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-9)
+        / np.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+def t5_rel_pos_bias(params: Params, cfg: T5Config, seq_len: int) -> jnp.ndarray:
+    """[1, H, S, S] additive attention bias."""
+    ctx = jnp.arange(seq_len)[:, None]
+    mem = jnp.arange(seq_len)[None, :]
+    buckets = _relative_position_bucket(
+        mem - ctx, cfg.rel_pos_buckets, cfg.rel_pos_max_distance
+    )
+    bias = params["rel_pos_bias"][buckets]  # [S, S, H]
+    return bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+
+
+def t5_encode(
+    params: Params,
+    cfg: T5Config,
+    input_ids: jnp.ndarray,
+    attention_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """input_ids [B, S] -> embeddings [B, S, d_model]."""
+    b, s = input_ids.shape
+    x = params["embed"][input_ids]
+    bias = t5_rel_pos_bias(params, cfg, s)
+    if attention_mask is not None:
+        bias = bias + jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+
+    def block_fn(x, blk):
+        # Self attention (pre-norm, no score scaling — T5 convention).
+        h = rms_norm(x, blk["ln_attn"]["weight"], cfg.layer_norm_eps)
+
+        def proj(p, t):
+            y = jnp.dot(t, p["kernel"], preferred_element_type=jnp.float32)
+            return y.astype(t.dtype).reshape(b, s, cfg.num_heads, cfg.d_kv).transpose(
+                0, 2, 1, 3
+            )
+
+        q, k, v = proj(blk["q"], h), proj(blk["k"], h), proj(blk["v"], h)
+        logits = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            + bias
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        attn = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
+        x = x + jnp.dot(
+            attn, blk["o"]["kernel"], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
+        # Gated-GELU FF.
+        h = rms_norm(x, blk["ln_ff"]["weight"], cfg.layer_norm_eps)
+        gelu = jax.nn.gelu(
+            jnp.dot(h, blk["wi_0"]["kernel"], preferred_element_type=jnp.float32),
+            approximate=True,
+        )
+        lin = jnp.dot(h, blk["wi_1"]["kernel"], preferred_element_type=jnp.float32)
+        ff = jnp.dot(
+            (gelu * lin).astype(x.dtype),
+            blk["wo"]["kernel"],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return x + ff, None
+
+    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+    return rms_norm(x, params["final_ln"]["weight"], cfg.layer_norm_eps)
