@@ -1,0 +1,170 @@
+"""LoongXPipeline: the full model bundle (DiT + VAE + text encoders + CS3
+encoders + DGF fusion) as one pytree-of-params container.
+
+Replaces the reference's diffusers ``FluxPipeline`` + ``OminiModel`` pairing
+(/root/reference/src/train/model.py:376-462) with a plain dataclass of configs
+and param pytrees — no module objects, no device state; everything jit/pjit
+ready.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from loongx_tpu.models.flux.model import FluxConfig, init_flux_params
+from loongx_tpu.models.flux.vae import (
+    VAEConfig,
+    init_vae_params,
+    vae_encode,
+    vae_sample,
+    scale_latents,
+)
+from loongx_tpu.models.text.t5 import T5Config, init_t5_params, t5_encode
+from loongx_tpu.models.text.clip import (
+    CLIPTextConfig,
+    init_clip_params,
+    clip_encode,
+)
+from loongx_tpu.models.encoders import (
+    init_eeg_encoder,
+    init_ppg_encoder,
+    init_fnirs_encoder,
+    init_motion_encoder,
+)
+from loongx_tpu.models.fusion import init_dgf
+from loongx_tpu.ops.latents import pack_latents
+
+
+@dataclasses.dataclass
+class LoongXPipeline:
+    flux_cfg: FluxConfig
+    vae_cfg: VAEConfig
+    t5_cfg: T5Config
+    clip_cfg: CLIPTextConfig
+    params: Dict[str, Any]  # {"flux", "vae", "t5", "clip", "encoders", "dgf"}
+    dtype: Any = jnp.bfloat16
+    t5_tokenizer: Any = None
+    clip_tokenizer: Any = None
+    max_sequence_length: int = 512
+
+    # ------------------------------------------------------------------
+    # Constructors
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def init_random(
+        key: jax.Array,
+        flux_cfg: Optional[FluxConfig] = None,
+        vae_cfg: Optional[VAEConfig] = None,
+        t5_cfg: Optional[T5Config] = None,
+        clip_cfg: Optional[CLIPTextConfig] = None,
+        dtype=jnp.bfloat16,
+        with_biosignal: bool = True,
+    ) -> "LoongXPipeline":
+        flux_cfg = flux_cfg or FluxConfig.flux_dev()
+        vae_cfg = vae_cfg or VAEConfig.flux()
+        t5_cfg = t5_cfg or T5Config.xxl()
+        clip_cfg = clip_cfg or CLIPTextConfig.large()
+        ks = jax.random.split(key, 9)
+        params: Dict[str, Any] = {
+            "flux": init_flux_params(ks[0], flux_cfg, dtype),
+            "vae": init_vae_params(ks[1], vae_cfg, dtype),
+            "t5": init_t5_params(ks[2], t5_cfg, dtype),
+            "clip": init_clip_params(ks[3], clip_cfg, dtype),
+        }
+        if with_biosignal:
+            params["encoders"] = {
+                "eeg": init_eeg_encoder(ks[4], dtype),
+                "ppg": init_ppg_encoder(ks[5], dtype),
+                "fnirs": init_fnirs_encoder(ks[6], dtype),
+                "motion": init_motion_encoder(ks[7], dtype),
+            }
+            params["dgf"] = init_dgf(ks[8], dtype)
+        return LoongXPipeline(
+            flux_cfg=flux_cfg, vae_cfg=vae_cfg, t5_cfg=t5_cfg, clip_cfg=clip_cfg,
+            params=params, dtype=dtype,
+        )
+
+    @staticmethod
+    def tiny(key: jax.Array, dtype=jnp.float32, with_biosignal: bool = False,
+             ) -> "LoongXPipeline":
+        """Miniature pipeline for tests: consistent tiny dims end to end."""
+        vae_cfg = VAEConfig.tiny()
+        t5_cfg = T5Config.tiny()
+        clip_cfg = CLIPTextConfig.tiny()
+        flux_cfg = FluxConfig(
+            in_channels=4 * vae_cfg.latent_channels,
+            num_heads=2, head_dim=32, num_double_blocks=2, num_single_blocks=2,
+            joint_dim=t5_cfg.d_model, pooled_dim=clip_cfg.hidden,
+            axes_dims=(8, 12, 12),
+        )
+        pipe = LoongXPipeline.init_random(
+            key, flux_cfg, vae_cfg, t5_cfg, clip_cfg, dtype,
+            with_biosignal=False,
+        )
+        if with_biosignal:
+            # Full-size CS3/DGF stacks (their dims are fixed by the reference
+            # contract: [B,512,4096] / [B,768]) don't fit a tiny flux; tests
+            # use them standalone.
+            ks = jax.random.split(jax.random.fold_in(key, 1), 5)
+            pipe.params["encoders"] = {
+                "eeg": init_eeg_encoder(ks[0], dtype),
+                "ppg": init_ppg_encoder(ks[1], dtype),
+                "fnirs": init_fnirs_encoder(ks[2], dtype),
+                "motion": init_motion_encoder(ks[3], dtype),
+            }
+            pipe.params["dgf"] = init_dgf(ks[4], dtype)
+        return pipe
+
+    @staticmethod
+    def from_pretrained(path: str, dtype=jnp.bfloat16) -> "LoongXPipeline":
+        """Load a converted checkpoint directory (see utils/convert.py)."""
+        from loongx_tpu.utils.checkpoint import load_pipeline
+
+        return load_pipeline(path, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    # Encoding helpers (the reference's pipeline_tools equivalents)
+    # ------------------------------------------------------------------
+
+    def encode_image_tokens(
+        self, images: jnp.ndarray, key: Optional[jax.Array] = None
+    ) -> Tuple[jnp.ndarray, int, int]:
+        """images [B,H,W,3] in [-1,1] -> (packed latent tokens, lat_h, lat_w)
+        (reference pipeline_tools.encode_images:7-30).  Deterministic (mean)
+        unless a sampling key is given."""
+        images = images.astype(self.dtype)
+        mean, logvar = vae_encode(self.params["vae"], self.vae_cfg, images)
+        lat = vae_sample(mean, logvar, key) if key is not None else mean
+        lat = scale_latents(self.vae_cfg, lat)
+        tokens = pack_latents(lat)
+        return tokens, lat.shape[1], lat.shape[2]
+
+    def encode_text(self, prompts) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """prompts (list[str]) -> (prompt_embeds [B,S,4096], pooled [B,768],
+        txt_ids [S,3]) (reference pipeline_tools.prepare_text_input:33-52).
+        Requires tokenizers; tests pass embeddings directly instead."""
+        if self.t5_tokenizer is None or self.clip_tokenizer is None:
+            raise RuntimeError(
+                "pipeline has no tokenizers; pass prompt_embeds directly"
+            )
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        t5_ids = self.t5_tokenizer(
+            prompts, padding="max_length", max_length=self.max_sequence_length,
+            truncation=True, return_tensors="np",
+        ).input_ids
+        prompt_embeds = t5_encode(self.params["t5"], self.t5_cfg, jnp.asarray(t5_ids))
+        clip_ids = self.clip_tokenizer(
+            prompts, padding="max_length", max_length=77, truncation=True,
+            return_tensors="np",
+        ).input_ids
+        _, pooled = clip_encode(
+            self.params["clip"], self.clip_cfg, jnp.asarray(clip_ids)
+        )
+        txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+        return prompt_embeds.astype(self.dtype), pooled.astype(self.dtype), txt_ids

@@ -1,0 +1,2 @@
+from loongx_tpu.sampling.condition import Condition, CONDITION_TYPE_IDS  # noqa: F401
+from loongx_tpu.sampling.generate import generate  # noqa: F401

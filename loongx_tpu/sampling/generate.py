@@ -1,0 +1,251 @@
+"""Generation: the flow-match Euler sampling loop + neural-condition fusion.
+
+Equivalent of the reference's ``generate()`` entry point
+(/root/reference/src/flux/generate.py:72-394), redesigned TPU-first:
+
+  * the entire denoise loop is ONE jitted ``lax.scan`` over the sigma ladder
+    (the reference runs a Python loop of 28 separate forward calls);
+  * the schedule (sigmas + dynamic shift) is precomputed on host;
+  * condition strength (``condition_scale``/c_factor) is a traced scalar
+    argument, not module mutation;
+  * biosignal encoding + DGF fusion run inside the same jit boundary as the
+    text embeds they modify.
+
+The brain-condition semantics mirror the reference's inference path
+(generate.py:167-258): signals are SPP-normalised, encoded by CS3, fused
+pairwise (EEG+PPG -> prompt space, fNIRS+Motion -> pooled space), then either
+DUAN-fused with the text embeddings (``fuse_flag=True``) or replacing them
+outright (``fuse_flag=False`` — the deployed default, inference.py:115).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from loongx_tpu.models.flux.model import FluxConfig, flux_forward
+from loongx_tpu.models.flux.vae import vae_decode, unscale_latents
+from loongx_tpu.models.encoders import (
+    eeg_encode, ppg_encode, fnirs_encode, motion_encode,
+)
+from loongx_tpu.models.fusion import (
+    fuse_eeg_ppg, fuse_fnirs_motion, fuse_text_infer, fuse_text_train,
+)
+from loongx_tpu.ops.latents import (
+    latent_image_ids, pack_latents, unpack_latents,
+)
+from loongx_tpu.ops.schedule import flux_sigmas, euler_step
+from loongx_tpu.sampling.condition import Condition
+
+
+def _flags_tuple(flags: Optional[Dict[str, Any]]) -> Tuple[Tuple[str, Any], ...]:
+    return tuple(sorted((flags or {}).items()))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("flux_cfg", "flags", "attn_backend"),
+)
+def denoise_scan(
+    flux_params,
+    flux_cfg: FluxConfig,
+    flags: Tuple[Tuple[str, Any], ...],
+    latents: jnp.ndarray,
+    txt: jnp.ndarray,
+    pooled: jnp.ndarray,
+    img_ids: jnp.ndarray,
+    txt_ids: jnp.ndarray,
+    cond: Optional[jnp.ndarray],
+    cond_ids: Optional[jnp.ndarray],
+    sigmas: jnp.ndarray,
+    guidance: Optional[jnp.ndarray],
+    c_factor: Optional[jnp.ndarray],
+    attn_backend: str = "auto",
+) -> jnp.ndarray:
+    """Full denoise loop as a single compiled scan.
+
+    sigmas: [steps+1]; timestep fed to the DiT is sigma itself (the reference
+    divides its sigma*1000 timesteps back by 1000, generate.py:337).
+    """
+    flags_d = dict(flags)
+    sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)  # [steps, 2]
+
+    def step(lat, sig):
+        sigma, sigma_next = sig[0], sig[1]
+        t = jnp.broadcast_to(sigma, (lat.shape[0],))
+        v = flux_forward(
+            flux_params, flux_cfg,
+            img=lat.astype(txt.dtype), txt=txt, pooled=pooled, timestep=t,
+            guidance=guidance, img_ids=img_ids, txt_ids=txt_ids,
+            cond=cond, cond_ids=cond_ids, flags=flags_d, c_factor=c_factor,
+            attn_backend=attn_backend,
+        )
+        return euler_step(lat, v, sigma, sigma_next), None
+
+    out, _ = jax.lax.scan(step, latents, sig_pairs)
+    return out
+
+
+def encode_brain_conditions(
+    pipeline,
+    eeg=None,
+    fnirs=None,
+    ppg=None,
+    motion=None,
+    s4_mode: str = "conv",
+) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """Biosignals -> (brain_prompt [B,512,4096] | None,
+    brain_pooled [B,768] | None) via CS3 + pairwise DGF
+    (reference generate.py:167-237)."""
+    enc = pipeline.params.get("encoders")
+    dgf = pipeline.params.get("dgf")
+    if enc is None:
+        raise RuntimeError("pipeline has no biosignal encoders")
+
+    to_arr = lambda x: None if x is None else jnp.asarray(x, pipeline.dtype)
+    eeg, fnirs, ppg, motion = map(to_arr, (eeg, fnirs, ppg, motion))
+
+    brain_prompt = None
+    if eeg is not None:
+        eeg_feat = eeg_encode(enc["eeg"], eeg, s4_mode=s4_mode)
+        if ppg is not None:
+            ppg_feat = ppg_encode(enc["ppg"], ppg, s4_mode=s4_mode)
+            brain_prompt = fuse_eeg_ppg(dgf, eeg_feat, ppg_feat)
+        else:
+            brain_prompt = eeg_feat
+
+    brain_pooled = None
+    if fnirs is not None:
+        fnirs_feat = fnirs_encode(enc["fnirs"], fnirs, s4_mode=s4_mode)
+        if motion is not None:
+            motion_feat = motion_encode(enc["motion"], motion, s4_mode=s4_mode)
+            brain_pooled = fuse_fnirs_motion(dgf, fnirs_feat, motion_feat)
+        else:
+            brain_pooled = fnirs_feat
+    return brain_prompt, brain_pooled
+
+
+def generate(
+    pipeline,
+    prompt: Union[str, Sequence[str], None] = None,
+    conditions: Optional[List[Condition]] = None,
+    *,
+    height: int = 512,
+    width: int = 512,
+    num_inference_steps: int = 28,
+    guidance_scale: float = 3.5,
+    seed: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    latents: Optional[jnp.ndarray] = None,
+    prompt_embeds: Optional[jnp.ndarray] = None,
+    pooled_prompt_embeds: Optional[jnp.ndarray] = None,
+    condition_scale: float = 1.0,
+    eeg=None,
+    fnirs=None,
+    ppg=None,
+    motion=None,
+    use_brain_condition: bool = False,
+    fuse_flag: bool = False,
+    fuse_mode: str = "infer",
+    model_config: Optional[Dict[str, Any]] = None,
+    attn_backend: str = "auto",
+    output_type: str = "np",
+):
+    """Neural-driven image editing / generation.
+
+    Args mirror the reference ``generate`` (generate.py:73-88): ``eeg`` /
+    ``fnirs`` / ``ppg`` / ``motion`` are its additional_condition1..4;
+    ``fuse_flag=False`` replaces text embeds with brain embeds (the deployed
+    inference mode, inference.py:115); ``fuse_mode`` selects the documented
+    train-vs-infer DUAN wiring (SURVEY §2b asymmetry).
+
+    Returns images as float32 numpy [B, H, W, 3] in [-1, 1] ("np"),
+    uint8 ("uint8"), or raw packed latents ("latent").
+    """
+    if key is None:
+        key = jax.random.key(0 if seed is None else seed)
+    k_lat, k_enc = jax.random.split(key)
+
+    # ---- text embeddings ----
+    if prompt_embeds is None:
+        prompt_embeds, pooled_prompt_embeds, txt_ids = pipeline.encode_text(prompt)
+    else:
+        txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+    batch = prompt_embeds.shape[0]
+
+    # ---- brain conditions ----
+    if use_brain_condition:
+        brain_prompt, brain_pooled = encode_brain_conditions(
+            pipeline, eeg=eeg, fnirs=fnirs, ppg=ppg, motion=motion
+        )
+        if brain_prompt is not None and brain_pooled is not None:
+            if fuse_flag:
+                fuse_fn = fuse_text_infer if fuse_mode == "infer" else fuse_text_train
+                prompt_embeds, pooled_prompt_embeds = fuse_fn(
+                    pipeline.params["dgf"], prompt_embeds, pooled_prompt_embeds,
+                    brain_prompt, brain_pooled,
+                )
+            else:
+                prompt_embeds = brain_prompt.astype(pipeline.dtype)
+                pooled_prompt_embeds = brain_pooled.astype(pipeline.dtype)
+                txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+
+    # ---- latents ----
+    vae_scale = pipeline.vae_cfg.downscale
+    lat_h, lat_w = height // vae_scale, width // vae_scale
+    if latents is None:
+        latents = jax.random.normal(
+            k_lat,
+            (batch, lat_h // 2, lat_w // 2, pipeline.flux_cfg.in_channels),
+            jnp.float32,
+        ).reshape(batch, (lat_h // 2) * (lat_w // 2), pipeline.flux_cfg.in_channels)
+        latents = latents.astype(pipeline.dtype)
+    img_ids = latent_image_ids(lat_h, lat_w)
+
+    # ---- condition tokens ----
+    cond_tokens = cond_ids = None
+    if conditions:
+        if len(conditions) > 1:
+            raise NotImplementedError("only one condition supported (parity)")
+        toks, ids, _type_ids = conditions[0].encode(pipeline)
+        cond_tokens = jnp.broadcast_to(
+            toks.astype(pipeline.dtype), (batch,) + toks.shape[1:]
+        )
+        cond_ids = ids
+
+    # ---- schedule ----
+    sigmas = jnp.asarray(flux_sigmas(num_inference_steps, latents.shape[1]))
+    guidance = (
+        jnp.full((batch,), guidance_scale, jnp.float32)
+        if pipeline.flux_cfg.guidance_embeds
+        else None
+    )
+    c_factor = (
+        jnp.float32(condition_scale) if condition_scale != 1.0 else None
+    )
+
+    # ---- denoise (one compiled scan) ----
+    out = denoise_scan(
+        pipeline.params["flux"], pipeline.flux_cfg, _flags_tuple(model_config),
+        latents, prompt_embeds, pooled_prompt_embeds, img_ids, txt_ids,
+        cond_tokens, cond_ids, sigmas, guidance, c_factor,
+        attn_backend=attn_backend,
+    )
+
+    if output_type == "latent":
+        return out
+
+    # ---- decode ----
+    lat = unpack_latents(out, lat_h, lat_w)
+    lat = unscale_latents(pipeline.vae_cfg, lat).astype(pipeline.dtype)
+    images = vae_decode(pipeline.params["vae"], pipeline.vae_cfg, lat)
+    images = np.asarray(images.astype(jnp.float32))
+    if output_type == "uint8":
+        images = ((np.clip(images, -1, 1) + 1) * 127.5).round().astype(np.uint8)
+    return images

@@ -1,0 +1,133 @@
+"""Tests for CS3 encoders and DGF/DUAN fusion (SURVEY §2b shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loongx_tpu.models.encoders import (
+    init_eeg_encoder, eeg_encode,
+    init_ppg_encoder, ppg_encode,
+    init_fnirs_encoder, fnirs_encode,
+    init_motion_encoder, motion_encode,
+    canonicalise_signal,
+)
+from loongx_tpu.models.fusion import (
+    init_duan, duan_apply, init_dgf,
+    fuse_eeg_ppg, fuse_fnirs_motion, fuse_text_train, fuse_text_infer,
+)
+
+
+class TestEncoders:
+    """Output shapes must match the reference contract: EEG/PPG ->
+    [B,512,4096] (T5-prompt space), fNIRS/Motion -> [B,768] (CLIP space)."""
+
+    def test_eeg_shape(self):
+        p = init_eeg_encoder(jax.random.key(0), jnp.float32)
+        x = jax.random.normal(jax.random.key(1), (2, 4, 4096))
+        out = eeg_encode(p, x)
+        assert out.shape == (2, 512, 4096)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_ppg_shape(self):
+        p = init_ppg_encoder(jax.random.key(0), jnp.float32)
+        out = ppg_encode(p, jax.random.normal(jax.random.key(1), (2, 4, 256)))
+        assert out.shape == (2, 512, 4096)
+
+    def test_fnirs_shape(self):
+        p = init_fnirs_encoder(jax.random.key(0), jnp.float32)
+        out = fnirs_encode(p, jax.random.normal(jax.random.key(1), (2, 6, 512)))
+        assert out.shape == (2, 768)
+
+    def test_motion_shape(self):
+        p = init_motion_encoder(jax.random.key(0), jnp.float32)
+        out = motion_encode(p, jax.random.normal(jax.random.key(1), (2, 6, 128)))
+        assert out.shape == (2, 768)
+
+    def test_variable_length_spp(self):
+        """Shorter/longer raw signals are SPP-normalised before encoding
+        (reference model.py:625-647)."""
+        p = init_ppg_encoder(jax.random.key(0), jnp.float32)
+        short = ppg_encode(p, jax.random.normal(jax.random.key(1), (1, 4, 100)))
+        long = ppg_encode(p, jax.random.normal(jax.random.key(2), (1, 4, 999)))
+        assert short.shape == long.shape == (1, 512, 4096)
+
+    def test_canonicalise_accepts_flat_and_unbatched(self):
+        flat = jnp.ones((2, 4 * 4096))
+        assert canonicalise_signal(flat, "eeg").shape == (2, 4, 4096)
+        unbatched = jnp.ones((4, 300))
+        assert canonicalise_signal(unbatched, "eeg").shape == (1, 4, 4096)
+
+    def test_jit_and_grad(self):
+        p = init_motion_encoder(jax.random.key(0), jnp.float32)
+        x = jax.random.normal(jax.random.key(1), (1, 6, 128))
+
+        @jax.jit
+        def loss(p):
+            return jnp.mean(motion_encode(p, x) ** 2)
+
+        g = jax.grad(loss)(p)
+        assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(g))
+
+
+class TestDUAN:
+    def test_shape_and_finite(self):
+        p = init_duan(jax.random.key(0), channels=16)
+        x = jax.random.normal(jax.random.key(1), (2, 16, 32))
+        c = jax.random.normal(jax.random.key(2), (2, 16, 32))
+        y = duan_apply(p, x, c)
+        assert y.shape == x.shape
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_topk_mask_zeroes_channels(self):
+        p = init_duan(jax.random.key(0), channels=10)
+        x = jax.random.normal(jax.random.key(1), (1, 10, 8))
+        c = jax.random.normal(jax.random.key(2), (1, 10, 8))
+        y = duan_apply(p, x, c, keep_ratio=0.5)
+        per_channel = np.abs(np.asarray(y))[0].sum(axis=1)
+        assert (per_channel == 0).sum() >= 4  # ~half masked (ties may keep more)
+
+    def test_keep_ratio_one_keeps_all(self):
+        p = init_duan(jax.random.key(0), channels=8)
+        x = jax.random.normal(jax.random.key(1), (1, 8, 8)) + 5.0
+        c = jax.random.normal(jax.random.key(2), (1, 8, 8))
+        y = duan_apply(p, x, c, keep_ratio=1.0)
+        per_channel = np.abs(np.asarray(y))[0].sum(axis=1)
+        assert (per_channel > 0).all()
+
+    def test_condition_modulates(self):
+        p = init_duan(jax.random.key(0), channels=8)
+        x = jax.random.normal(jax.random.key(1), (1, 8, 8))
+        c1 = jax.random.normal(jax.random.key(2), (1, 8, 8))
+        c2 = c1 * 3.0 + 1.0
+        y1, y2 = duan_apply(p, x, c1), duan_apply(p, x, c2)
+        assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+class TestDGF:
+    @pytest.fixture(scope="class")
+    def dgf(self):
+        return init_dgf(jax.random.key(0), jnp.float32)
+
+    def test_fuse_signal_paths(self, dgf):
+        eeg = jax.random.normal(jax.random.key(1), (1, 512, 4096))
+        ppg = jax.random.normal(jax.random.key(2), (1, 512, 4096))
+        brain_prompt = fuse_eeg_ppg(dgf, eeg, ppg)
+        assert brain_prompt.shape == (1, 512, 4096)
+
+        fnirs = jax.random.normal(jax.random.key(3), (1, 768))
+        motion = jax.random.normal(jax.random.key(4), (1, 768))
+        brain_pooled = fuse_fnirs_motion(dgf, fnirs, motion)
+        assert brain_pooled.shape == (1, 768)
+
+    def test_fuse_text_train_and_infer(self, dgf):
+        prompt = jax.random.normal(jax.random.key(1), (1, 512, 4096))
+        pooled = jax.random.normal(jax.random.key(2), (1, 768))
+        bp = jax.random.normal(jax.random.key(3), (1, 512, 4096))
+        bpool = jax.random.normal(jax.random.key(4), (1, 768))
+        pt, plt_ = fuse_text_train(dgf, prompt, pooled, bp, bpool)
+        assert pt.shape == prompt.shape and plt_.shape == pooled.shape
+        pi, pli = fuse_text_infer(dgf, prompt, pooled, bp, bpool)
+        assert pi.shape == prompt.shape and pli.shape == pooled.shape
+        # the two documented paths are genuinely different transforms
+        assert not np.allclose(np.asarray(pt), np.asarray(pi))

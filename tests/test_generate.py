@@ -1,0 +1,137 @@
+"""End-to-end generation tests on the tiny pipeline (SURVEY §7 stage 4:
+the minimum end-to-end slice)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loongx_tpu.models.pipeline import LoongXPipeline
+from loongx_tpu.sampling import Condition, generate
+from loongx_tpu.sampling.condition import CONDITION_TYPE_IDS
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return LoongXPipeline.tiny(jax.random.key(0))
+
+
+def _embeds(pipe, b=1, s=8):
+    k1, k2 = jax.random.split(jax.random.key(7))
+    return (
+        jax.random.normal(k1, (b, s, pipe.t5_cfg.d_model), jnp.float32),
+        jax.random.normal(k2, (b, pipe.clip_cfg.hidden), jnp.float32),
+    )
+
+
+class TestGenerate:
+    def test_text_only(self, pipe):
+        pe, pool = _embeds(pipe)
+        img = generate(
+            pipe, prompt_embeds=pe, pooled_prompt_embeds=pool,
+            height=16, width=16, num_inference_steps=2, attn_backend="xla",
+        )
+        assert img.shape == (1, 16, 16, 3)
+        assert np.all(np.isfinite(img))
+
+    def test_seed_determinism(self, pipe):
+        pe, pool = _embeds(pipe)
+        kw = dict(prompt_embeds=pe, pooled_prompt_embeds=pool, height=16,
+                  width=16, num_inference_steps=2, attn_backend="xla")
+        a = generate(pipe, seed=42, **kw)
+        b = generate(pipe, seed=42, **kw)
+        c = generate(pipe, seed=43, **kw)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_latent_output_and_manual_decode(self, pipe):
+        pe, pool = _embeds(pipe)
+        lat = generate(
+            pipe, prompt_embeds=pe, pooled_prompt_embeds=pool, height=16,
+            width=16, num_inference_steps=2, attn_backend="xla",
+            output_type="latent",
+        )
+        # 16px -> lat 8x8 -> packed 4*4 tokens
+        assert lat.shape == (1, 16, pipe.flux_cfg.in_channels)
+
+    def test_with_image_condition(self, pipe):
+        pe, pool = _embeds(pipe)
+        cond_img = np.random.RandomState(0).randint(
+            0, 255, (16, 16, 3), np.uint8
+        )
+        cond = Condition("subject", condition=cond_img)
+        img = generate(
+            pipe, conditions=[cond], prompt_embeds=pe,
+            pooled_prompt_embeds=pool, height=16, width=16,
+            num_inference_steps=2, attn_backend="xla",
+        )
+        assert img.shape == (1, 16, 16, 3)
+        assert np.all(np.isfinite(img))
+
+    def test_condition_scale_changes_output(self, pipe):
+        pe, pool = _embeds(pipe)
+        cond_img = np.random.RandomState(0).randint(
+            0, 255, (16, 16, 3), np.uint8
+        )
+        kw = dict(
+            conditions=[Condition("subject", condition=cond_img)],
+            prompt_embeds=pe, pooled_prompt_embeds=pool, height=16, width=16,
+            num_inference_steps=2, attn_backend="xla", seed=0,
+        )
+        a = generate(pipe, **kw)
+        b = generate(pipe, condition_scale=0.25, **kw)
+        assert not np.allclose(a, b)
+
+    def test_uint8_output(self, pipe):
+        pe, pool = _embeds(pipe)
+        img = generate(
+            pipe, prompt_embeds=pe, pooled_prompt_embeds=pool, height=16,
+            width=16, num_inference_steps=1, attn_backend="xla",
+            output_type="uint8",
+        )
+        assert img.dtype == np.uint8
+
+
+class TestCondition:
+    def test_type_ids_match_reference(self):
+        """Registry must match reference condition_dict (condition.py:10-21)."""
+        assert CONDITION_TYPE_IDS["depth"] == 0
+        assert CONDITION_TYPE_IDS["canny"] == 1
+        assert CONDITION_TYPE_IDS["subject"] == 4
+        assert CONDITION_TYPE_IDS["sr"] == 10
+        assert CONDITION_TYPE_IDS["eeg+fnirs"] == 12
+        assert Condition.get_type_id("fill") == 9
+
+    def test_unknown_type_rejected(self):
+        with pytest.raises(ValueError):
+            Condition("wavelet", condition=np.zeros((8, 8, 3), np.uint8))
+
+    def test_synthesis_coloring(self):
+        PIL = pytest.importorskip("PIL")
+        from PIL import Image
+
+        raw = Image.fromarray(
+            np.random.RandomState(0).randint(0, 255, (16, 16, 3), np.uint8)
+        )
+        c = Condition("coloring", raw_img=raw)
+        arr = np.asarray(c.condition)
+        # grayscale: all three channels equal
+        assert (arr[..., 0] == arr[..., 1]).all()
+
+    def test_synthesis_canny(self):
+        pytest.importorskip("cv2")
+        from PIL import Image
+
+        raw = Image.fromarray(
+            (np.indices((32, 32)).sum(0) % 16 * 16).astype(np.uint8)
+        ).convert("RGB")
+        c = Condition("canny", raw_img=raw)
+        assert np.asarray(c.condition).shape == (32, 32, 3)
+
+    def test_encode_produces_shifted_ids(self, pipe):
+        cond_img = np.zeros((16, 16, 3), np.uint8)
+        c = Condition("canny", condition=cond_img, position_delta=(0, 4))
+        tokens, ids, type_ids = c.encode(pipe)
+        assert tokens.shape[0] == 1 and tokens.shape[2] == pipe.flux_cfg.in_channels
+        np.testing.assert_array_equal(np.asarray(ids[:, 2] >= 4), True)
+        assert float(type_ids[0, 0]) == 1.0
