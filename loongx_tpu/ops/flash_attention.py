@@ -1,0 +1,294 @@
+"""Pallas TPU flash-attention kernel for the unified [txt|img|cond] sequence.
+
+This is the hot kernel of the framework (SURVEY §2c row 1): the reference
+leans on cuDNN SDPA with a materialised [S, S] mask / bias tensor
+(/root/reference/src/flux/block.py:106-131); here the block structure is
+computed *inside* the kernel from one scalar boundary (``cond_start``), so no
+mask is ever materialised and HBM traffic is exactly Q, K, V and O.
+
+Supported modes (static):
+  * ``union``        — full bidirectional attention;
+  * ``no_union``     — cond <-> non-cond attention blocked both ways;
+  * ``independent``  — cond queries blind to non-cond keys;
+plus an additive log-bias on the cond<->non-cond blocks driven by a traced
+scalar (``c_factor``; condition-strength, reference block.py:121-128).
+
+Standard online-softmax tiling: fp32 running max / sum / accumulator in VMEM
+scratch, bf16 matmul inputs, fp32 MXU accumulation.  Sequence lengths are
+padded to the KV block size; padded keys are masked, padded query rows are
+sliced away by the wrapper.
+
+The op is differentiable via ``jax.custom_vjp``: the backward pass recomputes
+attention probabilities tile-free in XLA from the saved (m, l) statistics —
+exact, memory-hungrier than a Pallas backward (planned optimisation), but
+only exercised during LoRA training where S is modest.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(
+    cbias_ref,  # SMEM (1, 1) fp32: log(c_factor) (0 when unused)
+    q_ref, k_ref, v_ref,  # VMEM tiles
+    o_ref,  # output tile
+    m_ref, l_ref, acc_ref,  # VMEM scratch
+    *,
+    scale: float,
+    mode: str,
+    use_cfactor: bool,
+    cond_start: int,
+    seq_len: int,
+    block_q: int,
+    block_k: int,
+    num_kv: int,
+):
+    kv_idx = pl.program_id(3)
+    q_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # [block_q, D]
+    k = k_ref[0, 0]  # [block_k, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, block_k]
+    s = s * scale
+
+    row_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        + q_idx * block_q
+    )
+    col_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        + kv_idx * block_k
+    )
+    # Padding mask (keys beyond the real sequence).
+    if seq_len % block_k != 0:
+        s = jnp.where(col_ids < seq_len, s, MASK_VALUE)
+
+    row_cond = row_ids >= cond_start
+    col_cond = col_ids >= cond_start
+    if use_cfactor:
+        # Additive log-bias replaces masks (reference precedence).
+        s = s + jnp.where(row_cond != col_cond, cbias_ref[0, 0], 0.0)
+    elif mode == "no_union":
+        s = jnp.where(row_cond == col_cond, s, MASK_VALUE)
+    elif mode == "independent":
+        s = jnp.where(row_cond & ~col_cond, MASK_VALUE, s)
+
+    m_prev = m_ref[...]  # [block_q, LANES]
+    l_prev = l_ref[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+    m_next = jnp.maximum(m_prev, m_curr)  # broadcast to LANES
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+    l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[...] = m_next
+    l_ref[...] = l_next
+
+    v = v_ref[0, 0]  # [block_k, D]
+    pv = jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )  # [block_q, D]
+    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        l_final = l_ref[...][:, :1]
+        safe_l = jnp.where(l_final == 0.0, 1.0, l_final)
+        o_ref[0, 0] = (acc_ref[...] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cond_start", "mode", "block_q", "block_k", "interpret"),
+)
+def _flash_fwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cbias: jnp.ndarray,
+    cond_start: int,
+    mode: str,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    use_cfactor = mode == "cfactor"
+
+    s_pad = _round_up(s, max(block_q, block_k))
+    if s_pad != s:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    num_q = s_pad // block_q
+    num_kv = s_pad // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        mode=mode,
+        use_cfactor=use_cfactor,
+        cond_start=cond_start,
+        seq_len=s,
+        block_q=block_q,
+        block_k=block_k,
+        num_kv=num_kv,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h, num_q, num_kv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s_pad * s_pad * d,
+            bytes_accessed=4 * b * h * s_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(cbias, q, k, v)
+    return out[:, :, :s, :]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper
+# ---------------------------------------------------------------------------
+
+
+def _bias_for(s_q: int, cond_start: int, mode: str, cbias: jnp.ndarray):
+    """XLA-side bias reconstruction for the backward pass."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_q), 0) >= cond_start
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_q), 1) >= cond_start
+    if mode == "cfactor":
+        return jnp.where(row != col, cbias[0, 0], 0.0)
+    if mode == "no_union":
+        return jnp.where(row == col, 0.0, MASK_VALUE)
+    if mode == "independent":
+        return jnp.where(row & ~col, MASK_VALUE, 0.0)
+    return jnp.zeros((s_q, s_q), jnp.float32)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+)
+def _flash_attention(q, k, v, cbias, cond_start, mode, block_q, block_k,
+                     interpret):
+    return _flash_fwd(q, k, v, cbias, cond_start, mode, block_q, block_k,
+                      interpret)
+
+
+def _flash_attention_fwd(q, k, v, cbias, cond_start, mode, block_q, block_k,
+                         interpret):
+    o = _flash_fwd(q, k, v, cbias, cond_start, mode, block_q, block_k,
+                   interpret)
+    return o, (q, k, v, cbias)
+
+
+def _flash_attention_bwd(cond_start, mode, block_q, block_k, interpret,
+                         residuals, do):
+    """Exact backward via XLA recompute (fp32).  dP = P * (dS_hat - rowsum);
+    standard softmax-attention gradient."""
+    q, k, v, cbias = residuals
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    dof = do.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    s = s + _bias_for(q.shape[2], cond_start, mode, cbias)[None, None]
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    if mode == "cfactor":
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape[-2:], 0) >= cond_start
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape[-2:], 1) >= cond_start
+        dcb = jnp.sum(jnp.where((row != col)[None, None], ds, 0.0))
+        dcbias = jnp.full((1, 1), dcb, jnp.float32)
+    else:
+        dcbias = jnp.zeros((1, 1), jnp.float32)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dcbias
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    cond_start: int,
+    mode: str = "union",
+    c_factor: Optional[jnp.ndarray] = None,
+    block_q: int = 512,
+    block_k: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Flash attention over [B, H, S, D] with condition block semantics.
+
+    ``cond_start`` is the first condition-token index (== S when no condition
+    stream).  See module docstring for modes.
+    """
+    b, h, s, d = q.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_q = min(block_q, _round_up(s, LANES))
+    block_k = min(block_k, _round_up(s, LANES))
+    if c_factor is not None:
+        mode = "cfactor"
+        cbias = jnp.log(
+            jnp.asarray(c_factor, jnp.float32).reshape(1, 1)
+        )
+    else:
+        cbias = jnp.zeros((1, 1), jnp.float32)
+    return _flash_attention(
+        q, k, v, cbias, cond_start, mode, block_q, block_k, interpret
+    )

@@ -1,0 +1,102 @@
+"""Pallas flash-attention kernel vs the XLA reference implementation.
+
+On CPU the kernel runs in interpret mode — same kernel logic, slow but exact.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loongx_tpu.ops.attention import unified_attention
+from loongx_tpu.ops.flash_attention import flash_attention
+
+
+def make_qkv(key, b=1, h=2, s=256, d=64, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    return tuple(
+        jax.random.normal(k, (b, h, s, d), dtype) for k in ks
+    )
+
+
+@pytest.mark.parametrize("mode", ["union", "no_union", "independent"])
+def test_modes_match_xla(mode):
+    q, k, v = make_qkv(jax.random.key(0), s=256)
+    cond_len = 64
+    out_ref = unified_attention(q, k, v, cond_len=cond_len, mode=mode,
+                                backend="xla")
+    out_pl = flash_attention(
+        q, k, v, cond_start=256 - cond_len, mode=mode, block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pl), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_cfactor_matches_xla():
+    q, k, v = make_qkv(jax.random.key(1), s=256)
+    cf = jnp.float32(0.5)
+    out_ref = unified_attention(q, k, v, cond_len=64, c_factor=cf, backend="xla")
+    out_pl = flash_attention(
+        q, k, v, cond_start=192, c_factor=cf, block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pl), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_unpadded_vs_padded_sequence():
+    """S not a multiple of the block: padded keys must not leak."""
+    q, k, v = make_qkv(jax.random.key(2), s=192)  # pads to 256
+    out_ref = unified_attention(q, k, v, cond_len=0, backend="xla")
+    out_pl = flash_attention(q, k, v, cond_start=192, block_q=256, block_k=256)
+    assert out_pl.shape == out_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out_pl), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_multi_qtile():
+    q, k, v = make_qkv(jax.random.key(3), s=512)
+    out_ref = unified_attention(q, k, v, cond_len=128, mode="no_union",
+                                backend="xla")
+    out_pl = flash_attention(
+        q, k, v, cond_start=384, mode="no_union", block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pl), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_bf16_tolerance():
+    q, k, v = make_qkv(jax.random.key(4), s=256, dtype=jnp.bfloat16)
+    out_ref = unified_attention(q, k, v, cond_len=64, backend="xla")
+    out_pl = flash_attention(q, k, v, cond_start=192, block_q=128, block_k=128)
+    assert out_pl.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_pl, np.float32), np.asarray(out_ref, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_grad_matches_xla():
+    q, k, v = make_qkv(jax.random.key(5), s=128)
+    cf = jnp.float32(0.7)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, cond_start=96, c_factor=cf,
+                            block_q=128, block_k=128) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            unified_attention(q, k, v, cond_len=32, c_factor=cf,
+                              backend="xla") ** 2
+        )
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)
