@@ -1,0 +1,102 @@
+"""Headline benchmark: neural-conditioned 512x512 28-step edit, edits/sec/chip.
+
+Mirrors the reference's deployed operating point (BASELINE.md: 512x512,
+28 steps, guidance 3.5, 512 text tokens, one condition image): text-embed
+conditioned FLUX denoise loop + condition tokens + VAE decode, end to end on
+one chip.
+
+The full FLUX.1-dev (12B params, ~24 GB bf16) does not fit one 16 GB v5e, so
+the default benchmarks ``flux-lite``: identical block geometry (3072 hidden,
+24 heads x 128, same token counts — so per-block speed is the real thing)
+at reduced depth (8 double + 16 single blocks, ~5B params).  Set
+BENCH_FULL=1 on a bigger chip to run the full 19+38 stack.  The reference
+publishes no latency numbers (SURVEY §6), so vs_baseline is null.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from loongx_tpu.models.flux.model import FluxConfig, init_flux_params
+    from loongx_tpu.models.flux.vae import (
+        VAEConfig, init_vae_params, vae_decode, unscale_latents,
+    )
+    from loongx_tpu.ops.latents import latent_image_ids, unpack_latents
+    from loongx_tpu.ops.schedule import flux_sigmas
+    from loongx_tpu.sampling.generate import denoise_scan
+
+    full = os.environ.get("BENCH_FULL") == "1"
+    steps = int(os.environ.get("BENCH_STEPS", "28"))
+    height = width = int(os.environ.get("BENCH_SIZE", "512"))
+
+    cfg = (
+        FluxConfig.flux_dev()
+        if full
+        else FluxConfig(num_double_blocks=8, num_single_blocks=16)
+    )
+    vae_cfg = VAEConfig.flux()
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 8)
+    flux_params = init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
+    vae_params = init_vae_params(ks[1], vae_cfg, dtype=jnp.bfloat16)
+
+    b, s_txt = 1, 512
+    lat_h, lat_w = height // 8, width // 8
+    s_img = (lat_h // 2) * (lat_w // 2)
+    latents = jax.random.normal(ks[2], (b, s_img, cfg.in_channels), jnp.bfloat16)
+    txt = jax.random.normal(ks[3], (b, s_txt, cfg.joint_dim), jnp.bfloat16)
+    pooled = jax.random.normal(ks[4], (b, cfg.pooled_dim), jnp.bfloat16)
+    cond = jax.random.normal(ks[5], (b, s_img, cfg.in_channels), jnp.bfloat16)
+    img_ids = latent_image_ids(lat_h, lat_w)
+    txt_ids = jnp.zeros((s_txt, 3))
+    cond_ids = latent_image_ids(lat_h, lat_w)
+    sigmas = jnp.asarray(flux_sigmas(steps, s_img))
+    guidance = jnp.full((b,), 3.5)
+
+    @jax.jit
+    def decode(vae_params, out):
+        lat = unpack_latents(out, lat_h, lat_w)
+        lat = unscale_latents(vae_cfg, lat).astype(jnp.bfloat16)
+        return vae_decode(vae_params, vae_cfg, lat)
+
+    def edit(latents):
+        out = denoise_scan(
+            flux_params, cfg, (), latents, txt, pooled, img_ids, txt_ids,
+            cond, cond_ids, sigmas, guidance, None,
+        )
+        return decode(vae_params, out)
+
+    # warmup / compile
+    edit(latents).block_until_ready()
+    n = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        img = edit(latents)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / n
+
+    result = {
+        "metric": f"edits/sec/chip ({height}x{width}, {steps}-step, cond-image, "
+        f"{'flux-dev' if full else 'flux-lite 8+16'})",
+        "value": round(1.0 / dt, 4),
+        "unit": "edits/sec",
+        "vs_baseline": None,
+        "p50_latency_s": round(dt, 3),
+        "ms_per_step": round(dt / steps * 1e3, 2),
+        "device": str(jax.devices()[0]),
+        "params_b": round(
+            sum(x.size for x in jax.tree.leaves(flux_params)) / 1e9, 2
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Batching + device prefetch.
+
+The reference tolerates a synchronous torch DataLoader feeding each step
+(reference train.py:155-160); on TPU a stalled input pipeline idles the MXU,
+so we use a background thread pool for host-side decode/synthesis and a
+one-deep device prefetch queue (next batch's H2D transfer overlaps the
+current step) — SURVEY §7 hard-part 6.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+import jax
+
+
+def _collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack numpy leaves; keep strings as lists; drop None-valued keys."""
+    out: Dict[str, Any] = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if vals[0] is None:
+            continue
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+def iterate_batches(
+    dataset,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    seed: int = 42,
+    num_workers: int = 4,
+    epochs: Optional[int] = None,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, Any]]:
+    """Yield collated host batches; samples are fetched by a thread pool."""
+    n = len(dataset)
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            for start in range(0, n, batch_size):
+                idx = order[start : start + batch_size]
+                if len(idx) < batch_size and drop_last:
+                    continue
+                samples = list(pool.map(dataset.__getitem__, idx.tolist()))
+                yield _collate(samples)
+            epoch += 1
+
+
+def prefetch_to_device(
+    batches: Iterator[Dict[str, Any]],
+    size: int = 2,
+    sharding=None,
+) -> Iterator[Dict[str, Any]]:
+    """Move numpy leaves to device ahead of consumption (double buffering).
+    String-valued leaves pass through on host."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+
+    def put(batch):
+        def to_dev(x):
+            if isinstance(x, np.ndarray):
+                return (
+                    jax.device_put(x, sharding) if sharding is not None
+                    else jax.device_put(x)
+                )
+            return x
+
+        return {k: to_dev(v) for k, v in batch.items()}
+
+    def producer():
+        try:
+            for b in batches:
+                q.put(put(b))
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        yield item

@@ -1,0 +1,129 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is NCCL data-parallel (Lightning DDP for
+training, a process-group image-sharding loop for inference —
+/root/reference/src/train/train.py:181-182, inference.py:177-261).  The
+TPU-native equivalent is a `jax.sharding.Mesh` with named axes and
+NamedSharding annotations; XLA inserts the all-reduces over ICI
+(SURVEY §2d / §5 "Distributed communication backend").
+
+Axes:
+  * ``data``   — batch-dimension sharding (DDP equivalent; grads all-reduce
+    over ICI automatically from sharding propagation).
+  * ``tensor`` — optional tensor parallelism over the DiT's head/MLP dims,
+    the idiomatic headroom lever the reference lacks (SURVEY §2d last row).
+
+Multi-host: call `jax.distributed.initialize()` before building the mesh;
+`jax.devices()` then spans hosts and the same code runs DCN+ICI hybrid.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = -1,
+    tensor: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ("data", "tensor") mesh.  data=-1 uses all remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % tensor == 0, f"{n} devices not divisible by tensor={tensor}"
+        data = n // tensor
+    assert data * tensor == n, f"mesh {data}x{tensor} != {n} devices"
+    arr = np.asarray(devices).reshape(data, tensor)
+    return Mesh(arr, ("data", "tensor"))
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules (tensor parallelism over the DiT)
+# ---------------------------------------------------------------------------
+
+# Path-regex -> PartitionSpec for the *last two* dims of each kernel.
+# Column-parallel (shard output dim) for QKV / MLP-in / modulation;
+# row-parallel (shard input dim) for output projections; everything else
+# replicated.  Biases of column-parallel layers shard on their only dim.
+_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # double blocks
+    (r"double_blocks/attn/to_(q|k|v)/kernel", P(None, None, "tensor")),
+    (r"double_blocks/attn/add_(q|k|v)_proj/kernel", P(None, None, "tensor")),
+    (r"double_blocks/attn/to_(q|k|v)/bias", P(None, "tensor")),
+    (r"double_blocks/attn/add_(q|k|v)_proj/bias", P(None, "tensor")),
+    (r"double_blocks/attn/to_out/kernel", P(None, "tensor", None)),
+    (r"double_blocks/attn/to_add_out/kernel", P(None, "tensor", None)),
+    (r"double_blocks/ff(_context)?/in/kernel", P(None, None, "tensor")),
+    (r"double_blocks/ff(_context)?/in/bias", P(None, "tensor")),
+    (r"double_blocks/ff(_context)?/out/kernel", P(None, "tensor", None)),
+    # single blocks
+    (r"single_blocks/attn/to_(q|k|v)/kernel", P(None, None, "tensor")),
+    (r"single_blocks/attn/to_(q|k|v)/bias", P(None, "tensor")),
+    (r"single_blocks/proj_mlp/kernel", P(None, None, "tensor")),
+    (r"single_blocks/proj_mlp/bias", P(None, "tensor")),
+    (r"single_blocks/proj_out/kernel", P(None, "tensor", None)),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_sharding_rules(
+    params: Dict[str, Any], mesh: Mesh, tensor_parallel: bool = True
+) -> Dict[str, Any]:
+    """NamedSharding tree for a FLUX param tree.  Replicates everything when
+    tensor_parallel=False or the tensor axis is trivial."""
+    use_tp = tensor_parallel and mesh.shape.get("tensor", 1) > 1
+
+    def rule(path, leaf):
+        if use_tp:
+            ps = _path_str(path)
+            for pattern, spec in _TP_RULES:
+                if re.search(pattern, ps):
+                    # trim spec to leaf rank (stacked-block leading axis
+                    # already accounted for in the rules)
+                    ndim = leaf.ndim
+                    spec_tuple = tuple(spec)[-ndim:]
+                    if len(spec_tuple) < ndim:
+                        spec_tuple = (None,) * (ndim - len(spec_tuple)) + spec_tuple
+                    return NamedSharding(mesh, P(*spec_tuple))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params, mesh: Mesh, tensor_parallel: bool = True):
+    """Place a param tree on the mesh according to the rules."""
+    shardings = param_sharding_rules(params, mesh, tensor_parallel)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard the leading (batch) axis over the data axis.  Leaves whose
+    leading dim is not divisible by the data-axis size (per-token ids,
+    scalars) are replicated instead."""
+    n_data = mesh.shape.get("data", 1)
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n_data == 0:
+            return jax.device_put(x, batch_sharding)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(put, batch)

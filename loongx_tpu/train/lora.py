@@ -1,0 +1,150 @@
+"""LoRA as pytree weight deltas.
+
+The reference injects peft LoRA adapters into the HF transformer by module
+regex (/root/reference/src/train/model.py:513-524, target_modules in
+train/config/seed_512.yaml:36-41).  Here LoRA lives *inside* the param tree:
+targeted linears gain ``lora_a`` [.., in, r], ``lora_b`` [.., r, out] and a
+``lora_scale`` scalar leaf; `loongx_tpu.models.flux.model.linear` applies
+``y += (x A) B * scale`` when the leaves are present and the call site's
+``use_lora`` gate is on (the enable_lora/latent_lora semantics,
+reference src/flux/lora_controller.py).
+
+Because blocks are scan-stacked, LoRA factors stack on the same leading axis
+— one pytree, no per-block Python objects.  peft-style init: A ~ N(0, 1/r),
+B = 0, scale = alpha / r.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+# Default target set == the reference's regex (seed_512.yaml:39) translated to
+# our tree paths.  Stacked-block leading axes are implicit.
+DEFAULT_TARGETS: Tuple[str, ...] = (
+    r"^x_embedder$",
+    r"^double_blocks/norm1/linear$",
+    r"^double_blocks/attn/to_(q|k|v)$",
+    r"^double_blocks/attn/to_out$",
+    r"^double_blocks/ff/out$",
+    r"^single_blocks/norm/linear$",
+    r"^single_blocks/attn/to_(q|k|v)$",
+    r"^single_blocks/proj_mlp$",
+    r"^single_blocks/proj_out$",
+)
+
+
+def _walk_linears(tree: Params, prefix: str = ""):
+    """Yield (path, dict) for every linear-like subtree ({kernel: ...})."""
+    if isinstance(tree, dict):
+        if "kernel" in tree:
+            yield prefix, tree
+        else:
+            for k, v in tree.items():
+                yield from _walk_linears(v, f"{prefix}/{k}" if prefix else k)
+
+
+def add_lora(
+    key: jax.Array,
+    params: Params,
+    r: int = 4,
+    alpha: int = 4,
+    targets: Tuple[str, ...] = DEFAULT_TARGETS,
+    dtype=jnp.bfloat16,
+) -> Params:
+    """Return a copy of ``params`` with LoRA leaves added to targeted linears."""
+    params = jax.tree.map(lambda x: x, params)  # shallow-ish copy via rebuild
+    patterns = [re.compile(t) for t in targets]
+    matched = []
+    for path, leaf_dict in _walk_linears(params):
+        if any(p.search(path) for p in patterns):
+            matched.append((path, leaf_dict))
+    if not matched:
+        raise ValueError(f"no linears matched LoRA targets {targets}")
+    keys = jax.random.split(key, len(matched))
+    for (path, leaf), k in zip(matched, keys):
+        kernel = leaf["kernel"]
+        *stack, d_in, d_out = kernel.shape
+        leaf["lora_a"] = (
+            jax.random.normal(k, (*stack, d_in, r), jnp.float32) / r
+        ).astype(dtype)
+        leaf["lora_b"] = jnp.zeros((*stack, r, d_out), dtype)
+        # per-block scale so stacked (scan-sliced) blocks carry a leading axis
+        leaf["lora_scale"] = jnp.full(tuple(stack), alpha / r, jnp.float32)
+    return params
+
+
+def lora_mask(params: Params) -> Params:
+    """Boolean mask tree: True for lora_a / lora_b leaves (the trainable set
+    — the reference trains only the LoRA layers, model.py:533-543)."""
+    def mask(path, leaf):
+        names = [getattr(p, "key", None) for p in path]
+        return any(n in ("lora_a", "lora_b") for n in names)
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def merge_lora(params: Params) -> Params:
+    """Fold LoRA deltas into the base kernels (inference fast path) and strip
+    the lora leaves."""
+    out = {}
+
+    def merge_tree(tree):
+        if isinstance(tree, dict):
+            if "kernel" in tree and "lora_a" in tree:
+                kernel = tree["kernel"]
+                scale = tree["lora_scale"]
+                delta = jnp.einsum(
+                    "...ir,...ro->...io",
+                    tree["lora_a"].astype(jnp.float32),
+                    tree["lora_b"].astype(jnp.float32),
+                ) * scale[..., None, None]
+                new = {
+                    k: v
+                    for k, v in tree.items()
+                    if k not in ("lora_a", "lora_b", "lora_scale")
+                }
+                new["kernel"] = (kernel.astype(jnp.float32) + delta).astype(
+                    kernel.dtype
+                )
+                return new
+            return {k: merge_tree(v) for k, v in tree.items()}
+        return tree
+
+    return merge_tree(params)
+
+
+def lora_state_dict(params: Params) -> Dict[str, jnp.ndarray]:
+    """Flat {path: array} of only the LoRA leaves (for checkpointing —
+    equivalent of peft's get_peft_model_state_dict, reference model.py:526-531)."""
+    out = {}
+    for path, leaf in _walk_linears(params):
+        if "lora_a" in leaf:
+            out[f"{path}/lora_a"] = leaf["lora_a"]
+            out[f"{path}/lora_b"] = leaf["lora_b"]
+    return out
+
+
+def load_lora_state_dict(params: Params, state: Dict[str, Any]) -> Params:
+    """Inverse of `lora_state_dict` (mutates and returns ``params``)."""
+    index = {path: leaf for path, leaf in _walk_linears(params)}
+    for key, value in state.items():
+        path, leaf_name = key.rsplit("/", 1)
+        if path not in index:
+            raise KeyError(f"no linear at {path!r} in params")
+        tgt = index[path]
+        value = jnp.asarray(value)
+        if leaf_name in tgt and tgt[leaf_name].shape != value.shape:
+            raise ValueError(
+                f"{key}: shape {value.shape} != expected {tgt[leaf_name].shape}"
+            )
+        tgt[leaf_name] = value
+        if "lora_scale" not in tgt:
+            stack = value.shape[:-2]
+            tgt["lora_scale"] = jnp.ones(stack, jnp.float32)
+    return params

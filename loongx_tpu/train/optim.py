@@ -1,0 +1,152 @@
+"""Optimizers: Prodigy (D-adaptation) in optax, plus AdamW/SGD builders.
+
+The reference's SEED configs depend on Prodigy with lr≈1 (prodigyopt,
+/root/reference/src/train/model.py:548-552; train/config/seed_512.yaml:43-48)
+— the learning-rate-free method of Mishchenko & Defazio, "Prodigy: An
+Expeditiously Adaptive Parameter-Free Learner" (arXiv:2306.06101).  This is a
+from-scratch optax implementation of the Adam-type Prodigy estimator:
+
+    m_k     = beta1 m + (1-beta1) d_k g
+    v_k     = beta2 v + (1-beta2) d_k^2 g^2
+    r_k     = beta3 r + (1-beta3-ish) ... numerator  d_k lr <g, x0 - x>
+    s_k     = beta3 s + d_k^2 lr g       (per-coordinate)
+    d_hat   = d_coef * r_k / ||s_k||_1
+    d_{k+1} = clip(max(d_k, d_hat), <= growth_rate * d_k)
+    x      -= d_k lr (bias_corr) m_k / (sqrt(v_k) + d_k eps)
+
+State keeps x0 (initial params) — cheap here because only LoRA factors train.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class ProdigyState(NamedTuple):
+    step: jnp.ndarray
+    d: jnp.ndarray
+    numerator: jnp.ndarray
+    mu: Any  # first moment
+    nu: Any  # second moment
+    s: Any  # per-coordinate denominator accumulator
+    p0: Any  # initial params
+
+
+def prodigy(
+    learning_rate: float = 1.0,
+    betas=(0.9, 0.999),
+    beta3: Optional[float] = None,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    d0: float = 1e-6,
+    d_coef: float = 1.0,
+    growth_rate: float = float("inf"),
+    use_bias_correction: bool = False,
+    safeguard_warmup: bool = False,
+) -> optax.GradientTransformation:
+    beta1, beta2 = betas
+    b3 = beta3 if beta3 is not None else beta2 ** 0.5
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return ProdigyState(
+            step=jnp.zeros([], jnp.int32),
+            d=jnp.asarray(d0, jnp.float32),
+            numerator=jnp.zeros([], jnp.float32),
+            mu=zeros,
+            nu=jax.tree.map(jnp.zeros_like, params),
+            s=jax.tree.map(jnp.zeros_like, params),
+            p0=jax.tree.map(lambda x: x, params),
+        )
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("prodigy requires params")
+        step = state.step + 1
+        d = state.d
+        dlr = d * learning_rate
+        if use_bias_correction:
+            bc = jnp.sqrt(1.0 - beta2 ** step.astype(jnp.float32)) / (
+                1.0 - beta1 ** step.astype(jnp.float32)
+            )
+            dlr = dlr * bc
+
+        # numerator: sum over params of <g, x0 - x>
+        dot = sum(
+            jnp.sum(
+                g.astype(jnp.float32) * (x0.astype(jnp.float32) - x.astype(jnp.float32))
+            )
+            for g, x0, x in zip(
+                jax.tree.leaves(grads), jax.tree.leaves(state.p0),
+                jax.tree.leaves(params),
+            )
+        )
+        coef = (d / d0) * (d * learning_rate if safeguard_warmup else dlr)
+        numerator = b3 * state.numerator + coef * dot
+
+        mu = jax.tree.map(
+            lambda m, g: beta1 * m + (1 - beta1) * (d * g.astype(jnp.float32)),
+            state.mu, grads,
+        )
+        nu = jax.tree.map(
+            lambda v, g: beta2 * v
+            + (1 - beta2) * (d * g.astype(jnp.float32)) ** 2,
+            state.nu, grads,
+        )
+        s = jax.tree.map(
+            lambda s_, g: b3 * s_
+            + (d / d0) * dlr * g.astype(jnp.float32),
+            state.s, grads,
+        )
+        denom = sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(s))
+        d_hat = jnp.where(
+            denom > 0, d_coef * numerator / jnp.maximum(denom, 1e-30), d
+        )
+        new_d = jnp.minimum(jnp.maximum(d, d_hat), d * growth_rate)
+
+        def upd(m, v, p):
+            step_dir = m / (jnp.sqrt(v) + d * eps)
+            delta = -dlr * step_dir
+            if weight_decay > 0:
+                delta = delta - dlr * weight_decay * p.astype(jnp.float32)
+            return delta.astype(p.dtype)
+
+        updates = jax.tree.map(upd, mu, nu, params)
+        return updates, ProdigyState(
+            step=step, d=new_d, numerator=numerator, mu=mu, nu=nu, s=s,
+            p0=state.p0,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(opt_config) -> optax.GradientTransformation:
+    """Build from an OptimizerConfig (reference configure_optimizers,
+    model.py:533-558: AdamW | Prodigy | SGD)."""
+    typ = opt_config.type if hasattr(opt_config, "type") else opt_config["type"]
+    params = (
+        opt_config.params if hasattr(opt_config, "params") else
+        opt_config.get("params", {})
+    )
+    params = dict(params)
+    if typ == "Prodigy":
+        return prodigy(
+            learning_rate=params.pop("lr", 1.0),
+            weight_decay=params.pop("weight_decay", 0.0),
+            use_bias_correction=params.pop("use_bias_correction", False),
+            safeguard_warmup=params.pop("safeguard_warmup", False),
+            **params,
+        )
+    if typ == "AdamW":
+        return optax.adamw(
+            learning_rate=params.pop("lr", 1e-4),
+            weight_decay=params.pop("weight_decay", 0.0),
+            **params,
+        )
+    if typ == "SGD":
+        return optax.sgd(learning_rate=params.pop("lr", 1e-3), **params)
+    raise NotImplementedError(f"optimizer type {typ!r}")

@@ -1,0 +1,290 @@
+"""Checkpoint conversion: HF/diffusers safetensors -> loongx_tpu pytrees.
+
+The reference consumes FLUX.1 weights through diffusers/transformers
+(reference model.py:398-399); our models are plain pytrees, so this module
+maps the published safetensors key layout onto them (SURVEY §7 hard-part 4).
+Torch linears are [out, in] -> transposed to [in, out]; convs [O, I, kh, kw]
+-> HWIO; per-block tensors are stacked onto a leading scan axis.
+
+All functions take a flat {key: np.ndarray} state dict, so they work with
+any loader (safetensors, torch.load, npz) and are unit-testable with
+synthetic state dicts.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def load_safetensors_dir(path: str, pattern: str = "") -> Dict[str, np.ndarray]:
+    """Read all *.safetensors files under ``path`` into one flat dict."""
+    from safetensors import safe_open
+
+    state: Dict[str, np.ndarray] = {}
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".safetensors") and pattern in f
+    )
+    if not files:
+        raise FileNotFoundError(f"no safetensors files in {path}")
+    for fname in files:
+        with safe_open(os.path.join(path, fname), framework="np") as f:
+            for key in f.keys():
+                state[key] = f.get_tensor(key)
+    return state
+
+
+def _lin(state, prefix, dtype, bias=True):
+    p = {"kernel": jnp.asarray(state[f"{prefix}.weight"].T, dtype)}
+    if bias and f"{prefix}.bias" in state:
+        p["bias"] = jnp.asarray(state[f"{prefix}.bias"], dtype)
+    return p
+
+
+def _stack(trees):
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+# ---------------------------------------------------------------------------
+# FLUX transformer
+# ---------------------------------------------------------------------------
+
+
+def convert_flux_state(state: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16):
+    """diffusers FluxTransformer2DModel state dict -> flux param tree."""
+    L = _lin
+
+    def double_block(i):
+        p = f"transformer_blocks.{i}"
+        return {
+            "norm1": {"linear": L(state, f"{p}.norm1.linear", dtype)},
+            "norm1_context": {"linear": L(state, f"{p}.norm1_context.linear", dtype)},
+            "attn": {
+                "to_q": L(state, f"{p}.attn.to_q", dtype),
+                "to_k": L(state, f"{p}.attn.to_k", dtype),
+                "to_v": L(state, f"{p}.attn.to_v", dtype),
+                "norm_q": {"weight": jnp.asarray(state[f"{p}.attn.norm_q.weight"], dtype)},
+                "norm_k": {"weight": jnp.asarray(state[f"{p}.attn.norm_k.weight"], dtype)},
+                "add_q_proj": L(state, f"{p}.attn.add_q_proj", dtype),
+                "add_k_proj": L(state, f"{p}.attn.add_k_proj", dtype),
+                "add_v_proj": L(state, f"{p}.attn.add_v_proj", dtype),
+                "norm_added_q": {"weight": jnp.asarray(state[f"{p}.attn.norm_added_q.weight"], dtype)},
+                "norm_added_k": {"weight": jnp.asarray(state[f"{p}.attn.norm_added_k.weight"], dtype)},
+                "to_out": L(state, f"{p}.attn.to_out.0", dtype),
+                "to_add_out": L(state, f"{p}.attn.to_add_out", dtype),
+            },
+            "ff": {
+                "in": L(state, f"{p}.ff.net.0.proj", dtype),
+                "out": L(state, f"{p}.ff.net.2", dtype),
+            },
+            "ff_context": {
+                "in": L(state, f"{p}.ff_context.net.0.proj", dtype),
+                "out": L(state, f"{p}.ff_context.net.2", dtype),
+            },
+        }
+
+    def single_block(i):
+        p = f"single_transformer_blocks.{i}"
+        return {
+            "norm": {"linear": L(state, f"{p}.norm.linear", dtype)},
+            "attn": {
+                "to_q": L(state, f"{p}.attn.to_q", dtype),
+                "to_k": L(state, f"{p}.attn.to_k", dtype),
+                "to_v": L(state, f"{p}.attn.to_v", dtype),
+                "norm_q": {"weight": jnp.asarray(state[f"{p}.attn.norm_q.weight"], dtype)},
+                "norm_k": {"weight": jnp.asarray(state[f"{p}.attn.norm_k.weight"], dtype)},
+            },
+            "proj_mlp": L(state, f"{p}.proj_mlp", dtype),
+            "proj_out": L(state, f"{p}.proj_out", dtype),
+        }
+
+    params = {
+        "x_embedder": L(state, "x_embedder", dtype),
+        "context_embedder": L(state, "context_embedder", dtype),
+        "time_in": {
+            "in_layer": L(state, "time_text_embed.timestep_embedder.linear_1", dtype),
+            "out_layer": L(state, "time_text_embed.timestep_embedder.linear_2", dtype),
+        },
+        "vector_in": {
+            "in_layer": L(state, "time_text_embed.text_embedder.linear_1", dtype),
+            "out_layer": L(state, "time_text_embed.text_embedder.linear_2", dtype),
+        },
+        "double_blocks": _stack(
+            [double_block(i) for i in range(cfg.num_double_blocks)]
+        ),
+        "single_blocks": _stack(
+            [single_block(i) for i in range(cfg.num_single_blocks)]
+        ),
+        "norm_out": {"linear": L(state, "norm_out.linear", dtype)},
+        "proj_out": L(state, "proj_out", dtype),
+    }
+    if cfg.guidance_embeds:
+        params["guidance_in"] = {
+            "in_layer": L(state, "time_text_embed.guidance_embedder.linear_1", dtype),
+            "out_layer": L(state, "time_text_embed.guidance_embedder.linear_2", dtype),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# VAE (AutoencoderKL)
+# ---------------------------------------------------------------------------
+
+
+def _conv(state, prefix, dtype):
+    w = state[f"{prefix}.weight"]
+    if w.ndim == 2:  # attention projections stored as Linear in new diffusers
+        w = w[:, :, None, None]
+    return {
+        "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0)), dtype),
+        "bias": jnp.asarray(state[f"{prefix}.bias"], dtype),
+    }
+
+
+def _gn(state, prefix, dtype):
+    return {
+        "weight": jnp.asarray(state[f"{prefix}.weight"], dtype),
+        "bias": jnp.asarray(state[f"{prefix}.bias"], dtype),
+    }
+
+
+def _resnet(state, prefix, dtype):
+    p = {
+        "norm1": _gn(state, f"{prefix}.norm1", dtype),
+        "conv1": _conv(state, f"{prefix}.conv1", dtype),
+        "norm2": _gn(state, f"{prefix}.norm2", dtype),
+        "conv2": _conv(state, f"{prefix}.conv2", dtype),
+    }
+    if f"{prefix}.conv_shortcut.weight" in state:
+        p["shortcut"] = _conv(state, f"{prefix}.conv_shortcut", dtype)
+    return p
+
+
+def _vae_attn(state, prefix, dtype):
+    return {
+        "norm": _gn(state, f"{prefix}.group_norm", dtype),
+        "to_q": _conv(state, f"{prefix}.to_q", dtype),
+        "to_k": _conv(state, f"{prefix}.to_k", dtype),
+        "to_v": _conv(state, f"{prefix}.to_v", dtype),
+        "to_out": _conv(state, f"{prefix}.to_out.0", dtype),
+    }
+
+
+def convert_vae_state(state: Dict[str, np.ndarray], cfg, dtype=jnp.float32):
+    """diffusers AutoencoderKL state dict -> vae param tree."""
+    n = len(cfg.block_channels)
+    enc: Dict[str, Any] = {"conv_in": _conv(state, "encoder.conv_in", dtype)}
+    for i in range(n):
+        block = {}
+        for j in range(cfg.layers_per_block):
+            block[f"resnet_{j}"] = _resnet(
+                state, f"encoder.down_blocks.{i}.resnets.{j}", dtype
+            )
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in state:
+            block["downsample"] = _conv(
+                state, f"encoder.down_blocks.{i}.downsamplers.0.conv", dtype
+            )
+        enc[f"down_{i}"] = block
+    enc["mid"] = {
+        "resnet_0": _resnet(state, "encoder.mid_block.resnets.0", dtype),
+        "attn": _vae_attn(state, "encoder.mid_block.attentions.0", dtype),
+        "resnet_1": _resnet(state, "encoder.mid_block.resnets.1", dtype),
+    }
+    enc["norm_out"] = _gn(state, "encoder.conv_norm_out", dtype)
+    enc["conv_out"] = _conv(state, "encoder.conv_out", dtype)
+
+    dec: Dict[str, Any] = {"conv_in": _conv(state, "decoder.conv_in", dtype)}
+    dec["mid"] = {
+        "resnet_0": _resnet(state, "decoder.mid_block.resnets.0", dtype),
+        "attn": _vae_attn(state, "decoder.mid_block.attentions.0", dtype),
+        "resnet_1": _resnet(state, "decoder.mid_block.resnets.1", dtype),
+    }
+    for i in range(n):
+        block = {}
+        for j in range(cfg.layers_per_block + 1):
+            block[f"resnet_{j}"] = _resnet(
+                state, f"decoder.up_blocks.{i}.resnets.{j}", dtype
+            )
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in state:
+            block["upsample"] = _conv(
+                state, f"decoder.up_blocks.{i}.upsamplers.0.conv", dtype
+            )
+        dec[f"up_{i}"] = block
+    dec["norm_out"] = _gn(state, "decoder.conv_norm_out", dtype)
+    dec["conv_out"] = _conv(state, "decoder.conv_out", dtype)
+    return {"encoder": enc, "decoder": dec}
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder
+# ---------------------------------------------------------------------------
+
+
+def convert_t5_state(state: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16):
+    def block(i):
+        p = f"encoder.block.{i}"
+        return {
+            "ln_attn": {
+                "weight": jnp.asarray(state[f"{p}.layer.0.layer_norm.weight"], dtype)
+            },
+            "q": _lin(state, f"{p}.layer.0.SelfAttention.q", dtype, bias=False),
+            "k": _lin(state, f"{p}.layer.0.SelfAttention.k", dtype, bias=False),
+            "v": _lin(state, f"{p}.layer.0.SelfAttention.v", dtype, bias=False),
+            "o": _lin(state, f"{p}.layer.0.SelfAttention.o", dtype, bias=False),
+            "ln_ff": {
+                "weight": jnp.asarray(state[f"{p}.layer.1.layer_norm.weight"], dtype)
+            },
+            "wi_0": _lin(state, f"{p}.layer.1.DenseReluDense.wi_0", dtype, bias=False),
+            "wi_1": _lin(state, f"{p}.layer.1.DenseReluDense.wi_1", dtype, bias=False),
+            "wo": _lin(state, f"{p}.layer.1.DenseReluDense.wo", dtype, bias=False),
+        }
+
+    return {
+        "embed": jnp.asarray(state["shared.weight"], dtype),
+        "rel_pos_bias": jnp.asarray(
+            state["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"],
+            dtype,
+        ),
+        "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+        "final_ln": {
+            "weight": jnp.asarray(state["encoder.final_layer_norm.weight"], dtype)
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLIP text encoder
+# ---------------------------------------------------------------------------
+
+
+def convert_clip_state(state: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16):
+    def block(i):
+        p = f"text_model.encoder.layers.{i}"
+        return {
+            "ln1": _gn(state, f"{p}.layer_norm1", dtype),
+            "q": _lin(state, f"{p}.self_attn.q_proj", dtype),
+            "k": _lin(state, f"{p}.self_attn.k_proj", dtype),
+            "v": _lin(state, f"{p}.self_attn.v_proj", dtype),
+            "o": _lin(state, f"{p}.self_attn.out_proj", dtype),
+            "ln2": _gn(state, f"{p}.layer_norm2", dtype),
+            "fc1": _lin(state, f"{p}.mlp.fc1", dtype),
+            "fc2": _lin(state, f"{p}.mlp.fc2", dtype),
+        }
+
+    return {
+        "token_embed": jnp.asarray(
+            state["text_model.embeddings.token_embedding.weight"], dtype
+        ),
+        "pos_embed": jnp.asarray(
+            state["text_model.embeddings.position_embedding.weight"], dtype
+        ),
+        "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+        "final_ln": _gn(state, "text_model.final_layer_norm", dtype),
+    }
