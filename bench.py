@@ -73,13 +73,14 @@ def main():
         )
         return decode(vae_params, out)
 
-    # warmup / compile
-    edit(latents).block_until_ready()
+    # warmup / compile — force real execution (block_until_ready is async
+    # under remote-compile platforms; a scalar pull is the reliable barrier)
+    float(edit(latents).mean())
     n = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
-    for _ in range(n):
-        img = edit(latents)
-    img.block_until_ready()
+    outs = [edit(latents) for _ in range(n)]
+    for o in outs:
+        float(o.mean())
     dt = (time.perf_counter() - t0) / n
 
     result = {

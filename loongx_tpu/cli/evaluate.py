@@ -1,0 +1,59 @@
+"""Evaluation CLI (reference test.py / test.sh equivalent).
+
+Usage:
+  python -m loongx_tpu.cli.evaluate --gen_dir outs [--gt_dir gts]
+      [--clip_path /local/clip] [--dino_path /local/dino]
+      [--caption_path test.jsonl] [--out_dir results]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="LoongX-TPU evaluation")
+    parser.add_argument("--gen_dir", type=str, required=True)
+    parser.add_argument("--gt_dir", type=str, default=None)
+    parser.add_argument("--clip_path", type=str, default=None,
+                        help="local HF CLIP checkpoint (e.g. ViT-B/32)")
+    parser.add_argument("--dino_path", type=str, default=None,
+                        help="local HF DINO checkpoint")
+    parser.add_argument("--caption_path", type=str, default=None,
+                        help="jsonl with instructions for CLIP-T")
+    parser.add_argument("--out_dir", type=str, default=None)
+    parser.add_argument("--image_size", type=int, default=512)
+    args = parser.parse_args(argv)
+
+    instructions = None
+    if args.caption_path and os.path.exists(args.caption_path):
+        instructions = {}
+        with open(args.caption_path, "r", encoding="utf-8") as f:
+            for line in f:
+                row = json.loads(line)
+                name = os.path.splitext(
+                    row.get("source_image", "").split("/")[-1]
+                )[0].removesuffix("_0")
+                instructions[name] = (
+                    row.get("speech2text") or row.get("instruction", "")
+                )
+
+    from loongx_tpu.evaluation import evaluate_directory
+
+    results = evaluate_directory(
+        args.gen_dir,
+        gt_dir=args.gt_dir,
+        instructions=instructions,
+        clip_path=args.clip_path,
+        dino_path=args.dino_path,
+        out_dir=args.out_dir,
+        image_size=args.image_size,
+    )
+    for k, v in results.items():
+        print(f"{k}: {v:.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Gradio web demo: subject-driven generation.
+
+Equivalent of the reference's ``src/gradio/gradio_app.py`` (center-crop to
+512, subject condition, few-step schnell-style schedule).  The reference's
+copy is stale against its own ``generate`` signature (SURVEY §2a row 14);
+this one is wired to the current API.  Requires ``gradio`` (optional dep)
+and a converted checkpoint directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_app(pipeline, num_steps: int = 8):
+    import gradio as gr
+    import numpy as np
+    from PIL import Image
+
+    from loongx_tpu.sampling import Condition, generate
+
+    def process(image, text):
+        # center crop to square then 512 (reference gradio_app.py:44-56)
+        w, h = image.size
+        s = min(w, h)
+        image = image.crop(
+            ((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2)
+        ).resize((512, 512))
+        cond = Condition("subject", raw_img=image)
+        out = generate(
+            pipeline,
+            prompt=text.strip(),
+            conditions=[cond],
+            height=512,
+            width=512,
+            num_inference_steps=num_steps,
+            output_type="uint8",
+        )
+        return Image.fromarray(out[0])
+
+    return gr.Interface(
+        fn=process,
+        inputs=[gr.Image(type="pil"), gr.Textbox(lines=2)],
+        outputs=gr.Image(type="pil"),
+        title="LoongX-TPU subject-driven generation",
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--port", type=int, default=7860)
+    args = parser.parse_args(argv)
+
+    from loongx_tpu.models.pipeline import LoongXPipeline
+
+    pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
+    build_app(pipeline, args.steps).launch(server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()

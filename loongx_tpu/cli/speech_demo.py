@@ -1,0 +1,103 @@
+"""Speech-driven editing demo.
+
+Equivalent of the reference's ``inference-demo.py``: record or load audio,
+transcribe (Whisper), optionally translate zh->en (MarianMT), and use the
+transcript as the editing instruction alongside biosignals.  The reference's
+version passes arguments its own ``generate`` doesn't accept (SURVEY §2a
+row 12); here the audio path feeds the standard edit call.
+
+Speech models are optional heavyweight deps — loaded lazily from local
+checkpoints (zero-egress safe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+
+def transcribe(
+    audio_path: str,
+    whisper_path: str = "openai/whisper-large",
+    translate_path: Optional[str] = "Helsinki-NLP/opus-mt-zh-en",
+    language: str = "zh",
+) -> str:
+    """Audio file -> (optionally translated) instruction text
+    (reference inference-demo.py:92-133)."""
+    import whisper  # type: ignore
+
+    model = whisper.load_model(whisper_path)
+    result = model.transcribe(audio_path, language=language)
+    text = result["text"].strip()
+    if translate_path and language != "en":
+        from transformers import MarianMTModel, MarianTokenizer
+
+        tok = MarianTokenizer.from_pretrained(translate_path)
+        mt = MarianMTModel.from_pretrained(translate_path)
+        batch = tok([text], return_tensors="pt", padding=True)
+        text = tok.decode(
+            mt.generate(**batch)[0], skip_special_tokens=True
+        )
+    return text
+
+
+def record_audio(seconds: float = 5.0, sample_rate: int = 16000) -> str:
+    """Record from the default microphone to a temp wav
+    (reference inference-demo.py:148-171)."""
+    import tempfile
+
+    import sounddevice as sd  # type: ignore
+    import soundfile as sf  # type: ignore
+
+    audio = sd.rec(
+        int(seconds * sample_rate), samplerate=sample_rate, channels=1
+    )
+    sd.wait()
+    path = tempfile.mktemp(suffix=".wav")
+    sf.write(path, audio, sample_rate)
+    return path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Speech-driven editing demo")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--image", type=str, required=True)
+    parser.add_argument("--audio", type=str, default=None,
+                        help="audio file; records from mic if omitted")
+    parser.add_argument("--record_seconds", type=float, default=5.0)
+    parser.add_argument("--whisper_path", type=str, default="openai/whisper-large")
+    parser.add_argument("--translate_path", type=str,
+                        default="Helsinki-NLP/opus-mt-zh-en")
+    parser.add_argument("--language", type=str, default="zh")
+    parser.add_argument("--brain_data_path", type=str, default=None)
+    parser.add_argument("--output", type=str, default="edited.png")
+    parser.add_argument("--prompt", type=str, default=None,
+                        help="fallback when no audio available")
+    args = parser.parse_args(argv)
+
+    audio = args.audio or record_audio(args.record_seconds)
+    try:
+        prompt = transcribe(
+            audio, args.whisper_path, args.translate_path, args.language
+        )
+        print(f"[speech] instruction: {prompt!r}")
+    except Exception as exc:
+        if not args.prompt:
+            raise
+        print(f"[speech] transcription unavailable ({exc}); using --prompt")
+        prompt = args.prompt
+
+    from loongx_tpu.cli.infer import edit_one, load_brain_data
+    from loongx_tpu.models.pipeline import LoongXPipeline
+
+    pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
+    brain_data = load_brain_data(args.brain_data_path)
+    brain = brain_data.get(os.path.basename(args.image), {})
+    img = edit_one(pipeline, args.image, prompt, brain=brain)
+    img.save(args.output)
+    print(f"[speech] saved {args.output}")
+
+
+if __name__ == "__main__":
+    main()

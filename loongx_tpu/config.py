@@ -76,6 +76,8 @@ class OptimizerConfig:
 class DatasetConfig:
     type: str = "seed"  # seed | subject | img | cartoon
     path: Optional[str] = None
+    jsonl_path: Optional[str] = None  # reference schema alias for seed
+    image_dir: str = ""
     pkl_path: Optional[str] = None
     condition_size: int = 512
     target_size: int = 512

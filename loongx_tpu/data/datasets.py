@@ -349,9 +349,10 @@ def build_dataset(train_cfg) -> Any:
     typ = ds_cfg.type.lower()
     if typ == "seed":
         return SeedDataset(
-            jsonl_path=ds_cfg.path,
+            jsonl_path=ds_cfg.jsonl_path or ds_cfg.path,
             condition_size=ds_cfg.condition_size,
             condition_type=train_cfg.condition_type,
+            image_dir=ds_cfg.image_dir,
             pkl_path=ds_cfg.pkl_path,
             image_size=ds_cfg.image_size,
         )

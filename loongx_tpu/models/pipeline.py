@@ -160,8 +160,9 @@ class LoongXPipeline:
         ).input_ids
         prompt_embeds = t5_encode(self.params["t5"], self.t5_cfg, jnp.asarray(t5_ids))
         clip_ids = self.clip_tokenizer(
-            prompts, padding="max_length", max_length=77, truncation=True,
-            return_tensors="np",
+            prompts, padding="max_length",
+            max_length=min(77, self.clip_cfg.max_positions),
+            truncation=True, return_tensors="np",
         ).input_ids
         _, pooled = clip_encode(
             self.params["clip"], self.clip_cfg, jnp.asarray(clip_ids)

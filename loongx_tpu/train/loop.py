@@ -1,0 +1,143 @@
+"""The full training loop (L5 orchestration).
+
+Equivalent of the reference's ``src/train/train.py`` main()
+(/root/reference/src/train/train.py:51-217): config -> dataset -> model ->
+step loop with grad accumulation, clipping, callbacks, wall-clock timing —
+but as one process driving a device mesh (the ``accelerate launch`` +
+Lightning-DDP pair collapses into NamedSharding over the "data" axis), with
+optimizer-state resume the reference lacks.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from loongx_tpu.config import Config
+from loongx_tpu.data import build_dataset, iterate_batches
+from loongx_tpu.models.pipeline import LoongXPipeline
+from loongx_tpu.parallel import make_mesh, shard_params, shard_batch
+from loongx_tpu.train.callbacks import TrainingCallback
+from loongx_tpu.train.lora import add_lora
+from loongx_tpu.train.optim import build_optimizer
+from loongx_tpu.train.prepare import prepare_batch
+from loongx_tpu.train.step import (
+    make_train_step, partition, trainable_mask,
+)
+from loongx_tpu.utils.checkpoint import latest_checkpoint, load_train_checkpoint
+
+
+def train(
+    config: Config,
+    pipeline: Optional[LoongXPipeline] = None,
+    dataset=None,
+    max_steps: Optional[int] = None,
+    resume: bool = True,
+    use_wandb: Optional[bool] = None,
+) -> Dict[str, Any]:
+    """Run training per config.  Returns summary metrics.
+
+    ``pipeline``/``dataset`` injectable for tests; by default built from the
+    config (pretrained weights dir via config.flux_path)."""
+    tcfg = config.train
+    np.random.seed(tcfg.seed)
+    run_name = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+
+    if pipeline is None:
+        pipeline = LoongXPipeline.from_pretrained(config.flux_path)
+    if dataset is None:
+        dataset = build_dataset(tcfg)
+
+    # mesh: all devices data-parallel (+ optional tensor axis from config)
+    tensor = int(config.mesh.get("tensor", 1)) if config.mesh else 1
+    mesh = make_mesh(data=-1, tensor=tensor)
+
+    # LoRA injection (reference init_lora, model.py:513-524)
+    lcfg = tcfg.lora_config
+    pipeline.params["flux"] = add_lora(
+        jax.random.key(tcfg.seed), pipeline.params["flux"],
+        r=lcfg.r, alpha=lcfg.lora_alpha, dtype=pipeline.dtype,
+    )
+    mask = trainable_mask(pipeline.params)
+    trainable, frozen = partition(pipeline.params, mask)
+
+    optimizer = optax.MultiSteps(
+        build_optimizer(tcfg.optimizer),
+        every_k_schedule=max(1, tcfg.accumulate_grad_batches),
+    )
+    init_fn, step_fn = make_train_step(
+        pipeline.flux_cfg,
+        optimizer,
+        flags=config.model.to_dict(),
+        use_brain_condition=(tcfg.dataset.type.lower() == "seed"),
+        fuse_flag=True,
+        remat=tcfg.gradient_checkpointing,
+        grad_clip=tcfg.gradient_clip_val,
+        dtype=pipeline.dtype,
+    )
+    state = init_fn(trainable)
+    start_step = 0
+    orbax_dir = os.path.join(tcfg.save_path, run_name, "orbax")
+    if resume:
+        # resume from the newest run under save_path, if any
+        for prior in sorted(os.listdir(tcfg.save_path) if os.path.isdir(tcfg.save_path) else [], reverse=True):
+            ck = latest_checkpoint(os.path.join(tcfg.save_path, prior, "orbax"))
+            if ck:
+                t, o, start_step = load_train_checkpoint(
+                    ck, {"trainable": state.trainable, "opt_state": state.opt_state}
+                )
+                state = state._replace(trainable=t, opt_state=o,
+                                       step=jnp.asarray(start_step))
+                print(f"[train] resumed from {ck} @ step {start_step}")
+                break
+
+    frozen = shard_params(frozen, mesh)
+    repl = NamedSharding(mesh, P())
+    state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    step_jit = jax.jit(step_fn, donate_argnums=(0,))
+
+    callback = TrainingCallback(
+        run_name=run_name,
+        save_path=tcfg.save_path,
+        save_interval=tcfg.save_interval,
+        sample_interval=tcfg.sample_interval,
+        use_wandb=use_wandb if use_wandb is not None else bool(tcfg.wandb),
+        wandb_config=tcfg.wandb,
+    )
+
+    total = max_steps or tcfg.max_steps
+    key = jax.random.key(tcfg.seed)
+    t0 = time.time()
+    step = start_step
+    metrics = {}
+    batches = iterate_batches(
+        dataset, tcfg.batch_size, seed=tcfg.seed,
+        num_workers=tcfg.dataloader_workers,
+    )
+    for host_batch in batches:
+        if step >= total:
+            break
+        batch = prepare_batch(
+            pipeline, host_batch,
+            position_scale=tcfg.dataset.position_scale,
+        )
+        batch = shard_batch(batch, mesh)
+        key, sub = jax.random.split(key)
+        state, metrics = step_jit(state, frozen, batch, sub)
+        step += 1
+        callback.on_step_end(step, metrics, state)
+    wall = time.time() - t0
+    print(f"[train] {step - start_step} steps in {wall:.1f}s "
+          f"({(step - start_step) / max(wall, 1e-9):.2f} steps/s)")
+    callback.save_checkpoint(step, state)
+    return {"steps": step, "wall_s": wall,
+            "final_loss": float(metrics.get("loss", np.nan)) if metrics else None}
