@@ -1,0 +1,122 @@
+"""Tests for the VAE and text encoders (tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loongx_tpu.models.flux.vae import (
+    VAEConfig, init_vae_params, vae_encode, vae_sample, vae_decode,
+    scale_latents, unscale_latents,
+)
+from loongx_tpu.models.text.t5 import T5Config, init_t5_params, t5_encode
+from loongx_tpu.models.text.clip import (
+    CLIPTextConfig, init_clip_params, clip_encode,
+)
+
+
+class TestVAE:
+    def test_encode_decode_shapes(self):
+        cfg = VAEConfig.tiny()
+        params = init_vae_params(jax.random.key(0), cfg)
+        img = jax.random.uniform(jax.random.key(1), (2, 16, 16, 3),
+                                 minval=-1, maxval=1)
+        mean, logvar = vae_encode(params, cfg, img)
+        ds = cfg.downscale
+        assert mean.shape == (2, 16 // ds, 16 // ds, cfg.latent_channels)
+        assert logvar.shape == mean.shape
+        lat = vae_sample(mean, logvar, jax.random.key(2))
+        out = vae_decode(params, cfg, lat)
+        assert out.shape == img.shape
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_flux_downscale_is_8(self):
+        assert VAEConfig.flux().downscale == 8
+        assert VAEConfig.flux().latent_channels == 16
+
+    def test_scale_unscale_roundtrip(self):
+        cfg = VAEConfig.flux()
+        x = jnp.linspace(-2, 2, 24).reshape(2, 3, 4)
+        np.testing.assert_allclose(
+            np.asarray(unscale_latents(cfg, scale_latents(cfg, x))),
+            np.asarray(x), rtol=1e-5,
+        )
+
+    def test_logvar_clipped(self):
+        cfg = VAEConfig.tiny()
+        params = init_vae_params(jax.random.key(0), cfg)
+        img = jnp.ones((1, 8, 8, 3)) * 100.0  # extreme input
+        _, logvar = vae_encode(params, cfg, img)
+        assert float(jnp.max(logvar)) <= 20.0
+        assert float(jnp.min(logvar)) >= -30.0
+
+    def test_deterministic_encode_mean(self):
+        cfg = VAEConfig.tiny()
+        params = init_vae_params(jax.random.key(0), cfg)
+        img = jax.random.uniform(jax.random.key(1), (1, 8, 8, 3))
+        m1, _ = vae_encode(params, cfg, img)
+        m2, _ = vae_encode(params, cfg, img)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+class TestT5:
+    def test_shapes_and_mask(self):
+        cfg = T5Config.tiny()
+        params = init_t5_params(jax.random.key(0), cfg, jnp.float32)
+        ids = jax.random.randint(jax.random.key(1), (2, 10), 0, cfg.vocab_size)
+        out = t5_encode(params, cfg, ids)
+        assert out.shape == (2, 10, cfg.d_model)
+
+        # attention mask: padding positions must not influence others
+        mask = jnp.ones((2, 10), jnp.int32).at[:, 5:].set(0)
+        out_m = t5_encode(params, cfg, ids, mask)
+        ids2 = ids.at[:, 5:].set(7)  # change masked-out tokens
+        out_m2 = t5_encode(params, cfg, ids2, mask)
+        np.testing.assert_allclose(
+            np.asarray(out_m[:, :5]), np.asarray(out_m2[:, :5]), atol=1e-5
+        )
+
+    def test_position_sensitivity(self):
+        """Relative position bias: same tokens, swapped order -> different
+        embeddings."""
+        cfg = T5Config.tiny()
+        params = init_t5_params(jax.random.key(0), cfg, jnp.float32)
+        a = jnp.asarray([[1, 2, 3, 4]])
+        b = jnp.asarray([[4, 3, 2, 1]])
+        ea = t5_encode(params, cfg, a)
+        eb = t5_encode(params, cfg, b)
+        assert not np.allclose(np.asarray(ea[0, 0]), np.asarray(eb[0, 3]))
+
+
+class TestCLIP:
+    def test_pooled_at_eos(self):
+        cfg = CLIPTextConfig.tiny()
+        params = init_clip_params(jax.random.key(0), cfg, jnp.float32)
+        eos = cfg.eos_token_id
+        ids = jnp.asarray([[5, 6, 7, eos, 0, 0, 0, 0]])
+        hidden, pooled = clip_encode(params, cfg, ids)
+        assert hidden.shape == (1, 8, cfg.hidden)
+        np.testing.assert_allclose(
+            np.asarray(pooled[0]), np.asarray(hidden[0, 3]), atol=1e-6
+        )
+
+    def test_causality(self):
+        """Causal mask: changing a later token can't change earlier states."""
+        cfg = CLIPTextConfig.tiny()
+        params = init_clip_params(jax.random.key(0), cfg, jnp.float32)
+        a = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]])
+        b = a.at[0, 6].set(99)
+        ha, _ = clip_encode(params, cfg, a)
+        hb, _ = clip_encode(params, cfg, b)
+        np.testing.assert_allclose(
+            np.asarray(ha[0, :6]), np.asarray(hb[0, :6]), atol=1e-5
+        )
+
+    def test_no_eos_uses_last(self):
+        cfg = CLIPTextConfig.tiny()
+        params = init_clip_params(jax.random.key(0), cfg, jnp.float32)
+        ids = jnp.asarray([[1, 2, 3, 4]])
+        hidden, pooled = clip_encode(params, cfg, ids)
+        np.testing.assert_allclose(
+            np.asarray(pooled[0]), np.asarray(hidden[0, -1]), atol=1e-6
+        )
