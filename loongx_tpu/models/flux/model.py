@@ -200,22 +200,33 @@ def init_flux_params(
 # ---------------------------------------------------------------------------
 
 
-def linear(p: Params, x: jnp.ndarray, use_lora: bool = True) -> jnp.ndarray:
+def linear(
+    p: Params,
+    x: jnp.ndarray,
+    use_lora: bool = True,
+    lora_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Linear with optional fused LoRA delta: y = xW + b [+ (xA)B * scale].
 
     The (lora_a, lora_b, lora_scale) leaves are added by train/lora.py; the
     ``use_lora`` flag reproduces the reference's enable_lora gating
-    (src/flux/lora_controller.py:5-42).
+    (src/flux/lora_controller.py:5-42).  ``lora_mask`` ([S, 1] of 0/1)
+    restricts the delta to a token segment — used by the stream-fused blocks
+    where img (LoRA off unless latent_lora) and cond (LoRA on) tokens ride
+    one matmul.
     """
     y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
     if use_lora and "lora_a" in p:
-        y = y + jnp.dot(
+        delta = jnp.dot(
             jnp.dot(x, p["lora_a"], preferred_element_type=jnp.float32).astype(
                 x.dtype
             ),
             p["lora_b"],
             preferred_element_type=jnp.float32,
         ) * p["lora_scale"]
+        if lora_mask is not None:
+            delta = delta * lora_mask
+        y = y + delta
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -276,34 +287,19 @@ def combined_timestep_embed(
 # ---------------------------------------------------------------------------
 
 
-def _ada_ln_zero(
-    p: Params, x: jnp.ndarray, temb: jnp.ndarray, n_chunks: int, use_lora: bool
-):
-    """adaLN-Zero: LN(x) modulated by chunks of linear(silu(temb)).
-
-    Returns (modulated_x, [remaining chunk tensors...]).  Chunk order matches
-    diffusers AdaLayerNormZero: shift_msa, scale_msa, gate_msa, shift_mlp,
-    scale_mlp, gate_mlp (dual) / shift, scale, gate (single)."""
-    mod = linear(p["linear"], silu(temb), use_lora=use_lora)
-    chunks = jnp.split(mod, n_chunks, axis=-1)
-    shift, scale = chunks[0], chunks[1]
-    normed = layer_norm(x)
-    out = normed * (1.0 + scale[:, None, :]) + shift[:, None, :]
-    return out, chunks[2:]
-
-
 def _qkv(
     attn: Params,
     x: jnp.ndarray,
     num_heads: int,
     prefix: str = "to",
     use_lora: bool = True,
+    lora_mask: Optional[jnp.ndarray] = None,
 ):
     """Project + split heads + per-head RMS q/k norm.  Returns [B,H,S,Dh]x3."""
     if prefix == "to":
-        q = linear(attn["to_q"], x, use_lora)
-        k = linear(attn["to_k"], x, use_lora)
-        v = linear(attn["to_v"], x, use_lora)
+        q = linear(attn["to_q"], x, use_lora, lora_mask)
+        k = linear(attn["to_k"], x, use_lora, lora_mask)
+        v = linear(attn["to_v"], x, use_lora, lora_mask)
         nq, nk = attn["norm_q"], attn["norm_k"]
     else:  # context ("added") projections — never LoRA-targeted
         q = linear(attn["add_q_proj"], x, use_lora=False)
@@ -330,6 +326,40 @@ def _apply_rope_qk(q, k, cos, sin):
     return rope_ops.apply_rope(q, cos, sin), rope_ops.apply_rope(k, cos, sin)
 
 
+def _seg_lora(
+    s_img: int, s_cond: int, latent_lora: bool, dtype
+) -> Tuple[bool, Optional[jnp.ndarray]]:
+    """(use_lora, lora_mask) for a fused [img | cond] latent stream.
+
+    Reproduces the reference's enable_lora gating (lora_controller.py): LoRA
+    always applies to condition tokens, and to base-latent tokens only when
+    latent_lora is set."""
+    if s_cond == 0:
+        return latent_lora, None
+    if latent_lora:
+        return True, None
+    mask = jnp.concatenate(
+        [jnp.zeros((s_img, 1), dtype), jnp.ones((s_cond, 1), dtype)]
+    )
+    return True, mask
+
+
+def _mod6(p: Params, temb: jnp.ndarray, use_lora: bool):
+    """adaLN-zero modulation: 6 chunks [B, H] each (shift/scale/gate msa,
+    shift/scale/gate mlp — diffusers order)."""
+    return jnp.split(linear(p["linear"], silu(temb), use_lora=use_lora), 6, -1)
+
+
+def _seg_affine(x_img, x_cond, a_img, b_img, a_cond, b_cond):
+    """Per-segment affine y = x * a + b applied to the two segments of a
+    fused latent stream; concatenated back (XLA fuses into the consumer)."""
+    y = x_img * a_img[:, None, :] + b_img[:, None, :]
+    if x_cond is None:
+        return y
+    yc = x_cond * a_cond[:, None, :] + b_cond[:, None, :]
+    return jnp.concatenate([y, yc], axis=1)
+
+
 def double_block_forward(
     block: Params,
     cfg: FluxConfig,
@@ -338,46 +368,50 @@ def double_block_forward(
     cond: Optional[jnp.ndarray],
     temb: jnp.ndarray,
     cond_temb: Optional[jnp.ndarray],
-    rope_ti: Tuple[jnp.ndarray, jnp.ndarray],
-    rope_c: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    rope_full: Tuple[jnp.ndarray, jnp.ndarray],
     flags: Dict[str, Any],
     c_factor: Optional[jnp.ndarray],
     attn_backend: str,
 ):
-    """One dual-stream block (reference: block.py:179-278)."""
+    """One dual-stream block (reference semantics: block.py:179-278).
+
+    TPU-first restructuring: img and cond tokens ride ONE fused latent stream
+    through the shared-weight matmuls (qkv/out/ff) — larger M on the MXU and
+    half the kernel launches vs the reference's per-stream calls — with
+    per-segment adaLN modulation/gating and segment-masked LoRA preserving
+    the reference's exact per-stream semantics.
+    """
     use_cond = cond is not None
     latent_lora = bool(flags.get("latent_lora", False))
     nh = cfg.num_heads
+    s_img, s_txt = img.shape[1], txt.shape[1]
+    s_cond = cond.shape[1] if use_cond else 0
 
-    norm_img, (gate_msa, shift_mlp, scale_mlp, gate_mlp) = _ada_ln_zero(
-        block["norm1"], img, temb, 6, use_lora=latent_lora
+    lat = jnp.concatenate([img, cond], axis=1) if use_cond else img
+    luse, lmask = _seg_lora(s_img, s_cond, latent_lora, lat.dtype)
+
+    # adaLN modulation per segment (shared norm1 weights; cond modulated at
+    # the fixed condition timestep — reference transformer.py:108-114; LoRA
+    # on the cond modulation path matches block.py:191-207 gating).
+    mi = _mod6(block["norm1"], temb, use_lora=latent_lora)
+    mt = _mod6(block["norm1_context"], temb, use_lora=False)
+    mc = _mod6(block["norm1"], cond_temb, use_lora=True) if use_cond else [None] * 6
+
+    normed = layer_norm(lat)
+    n_lat = _seg_affine(
+        normed[:, :s_img], normed[:, s_img:] if use_cond else None,
+        1.0 + mi[1], mi[0], (1.0 + mc[1]) if use_cond else None, mc[0],
     )
-    norm_txt, (c_gate_msa, c_shift_mlp, c_scale_mlp, c_gate_mlp) = _ada_ln_zero(
-        block["norm1_context"], txt, temb, 6, use_lora=False
-    )
-    if use_cond:
-        norm_cond, (g_msa_c, sh_mlp_c, sc_mlp_c, g_mlp_c) = _ada_ln_zero(
-            block["norm1"], cond, cond_temb, 6, use_lora=True
-        )
+    n_txt = layer_norm(txt) * (1.0 + mt[1][:, None, :]) + mt[0][:, None, :]
 
     attn = block["attn"]
-    q_i, k_i, v_i = _qkv(attn, norm_img, nh, "to", use_lora=latent_lora)
-    q_t, k_t, v_t = _qkv(attn, norm_txt, nh, "add", use_lora=False)
-    # Sequence order [txt | img] (reference: block.py:70-72 concatenates
-    # encoder projections first).
-    q = jnp.concatenate([q_t, q_i], axis=2)
-    k = jnp.concatenate([k_t, k_i], axis=2)
-    v = jnp.concatenate([v_t, v_i], axis=2)
-    q, k = _apply_rope_qk(q, k, *rope_ti)
-
-    cond_len = 0
-    if use_cond:
-        q_c, k_c, v_c = _qkv(attn, norm_cond, nh, "to", use_lora=True)
-        q_c, k_c = _apply_rope_qk(q_c, k_c, *rope_c)
-        q = jnp.concatenate([q, q_c], axis=2)
-        k = jnp.concatenate([k, k_c], axis=2)
-        v = jnp.concatenate([v, v_c], axis=2)
-        cond_len = norm_cond.shape[1]
+    q_l, k_l, v_l = _qkv(attn, n_lat, nh, "to", use_lora=luse, lora_mask=lmask)
+    q_t, k_t, v_t = _qkv(attn, n_txt, nh, "add", use_lora=False)
+    # Sequence order [txt | img | cond] (reference block.py:70-72, 101-104).
+    q = jnp.concatenate([q_t, q_l], axis=2)
+    k = jnp.concatenate([k_t, k_l], axis=2)
+    v = jnp.concatenate([v_t, v_l], axis=2)
+    q, k = _apply_rope_qk(q, k, *rope_full)
 
     mode = "union"
     if not flags.get("union_cond_attn", True):
@@ -385,42 +419,46 @@ def double_block_forward(
     elif flags.get("independent_condition", False):
         mode = "independent"
     out = unified_attention(
-        q, k, v, cond_len=cond_len, mode=mode, c_factor=c_factor,
+        q, k, v, cond_len=s_cond, mode=mode, c_factor=c_factor,
         backend=attn_backend,
     )
     out = _merge_heads(out)
 
-    s_t = txt.shape[1]
-    s_i = img.shape[1]
-    attn_txt = out[:, :s_t]
-    attn_img = out[:, s_t : s_t + s_i]
-    attn_img = linear(attn["to_out"], attn_img, use_lora=latent_lora)
-    attn_txt = linear(attn["to_add_out"], attn_txt, use_lora=False)
-
-    img = img + gate_msa[:, None, :] * attn_img
-    txt = txt + c_gate_msa[:, None, :] * attn_txt
-    if use_cond:
-        attn_cond = linear(attn["to_out"], out[:, s_t + s_i :], use_lora=True)
-        gated_cond = g_msa_c[:, None, :] * attn_cond
-        cond = cond + gated_cond
-        if flags.get("add_cond_attn", False):
-            img = img + gated_cond
-
-    # MLPs
-    def mlp(ff: Params, x, shift, scale, gate, use_lora_flag):
-        h = layer_norm(x) * (1.0 + scale[:, None, :]) + shift[:, None, :]
-        h = linear(ff["in"], h, use_lora=False)
-        h = gelu_tanh(h)
-        h = linear(ff["out"], h, use_lora=use_lora_flag)
-        return gate[:, None, :] * h
-
-    img = img + mlp(block["ff"], img, shift_mlp, scale_mlp, gate_mlp, latent_lora)
-    txt = txt + mlp(
-        block["ff_context"], txt, c_shift_mlp, c_scale_mlp, c_gate_mlp, False
+    attn_txt = linear(attn["to_add_out"], out[:, :s_txt], use_lora=False)
+    attn_lat = linear(
+        attn["to_out"], out[:, s_txt:], use_lora=luse, lora_mask=lmask
     )
-    if use_cond:
-        cond = cond + mlp(block["ff"], cond, sh_mlp_c, sc_mlp_c, g_mlp_c, True)
-    return txt, img, cond
+    zero = jnp.zeros_like(mi[2])
+    gated_lat = _seg_affine(
+        attn_lat[:, :s_img], attn_lat[:, s_img:] if use_cond else None,
+        mi[2], zero, mc[2] if use_cond else None, zero,
+    )
+    if use_cond and flags.get("add_cond_attn", False):
+        # reference block.py:233-234: img also receives the gated cond attn
+        gated_lat = gated_lat.at[:, :s_img].add(gated_lat[:, s_img:])
+    lat = lat + gated_lat
+    txt = txt + mt[2][:, None, :] * attn_txt
+
+    # MLP (fused latent stream; only ff.out is LoRA-targeted — seed config
+    # regex targets ff.net.2, not net.0)
+    n2 = layer_norm(lat)
+    m_lat = _seg_affine(
+        n2[:, :s_img], n2[:, s_img:] if use_cond else None,
+        1.0 + mi[4], mi[3], (1.0 + mc[4]) if use_cond else None, mc[3],
+    )
+    h = gelu_tanh(linear(block["ff"]["in"], m_lat, use_lora=False))
+    h = linear(block["ff"]["out"], h, use_lora=luse, lora_mask=lmask)
+    lat = lat + _seg_affine(
+        h[:, :s_img], h[:, s_img:] if use_cond else None,
+        mi[5], zero, mc[5] if use_cond else None, zero,
+    )
+
+    n2t = layer_norm(txt) * (1.0 + mt[4][:, None, :]) + mt[3][:, None, :]
+    ht = gelu_tanh(linear(block["ff_context"]["in"], n2t, use_lora=False))
+    ht = linear(block["ff_context"]["out"], ht, use_lora=False)
+    txt = txt + mt[5][:, None, :] * ht
+
+    return txt, lat[:, :s_img], lat[:, s_img:] if use_cond else None
 
 
 def single_block_forward(
@@ -430,39 +468,47 @@ def single_block_forward(
     cond: Optional[jnp.ndarray],
     temb: jnp.ndarray,
     cond_temb: Optional[jnp.ndarray],
-    rope_ti: Tuple[jnp.ndarray, jnp.ndarray],
-    rope_c: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    rope_full: Tuple[jnp.ndarray, jnp.ndarray],
     flags: Dict[str, Any],
     c_factor: Optional[jnp.ndarray],
     attn_backend: str,
 ):
     """One single-stream block over [txt+img] (+ cond)
-    (reference: block.py:281-339)."""
+    (reference semantics: block.py:281-339), stream-fused like
+    `double_block_forward`: main and cond tokens share every matmul with
+    per-segment modulation/gating and segment-masked LoRA."""
     use_cond = cond is not None
     latent_lora = bool(flags.get("latent_lora", False))
     nh = cfg.num_heads
-    residual = x
+    s_x = x.shape[1]
+    s_cond = cond.shape[1] if use_cond else 0
 
-    norm_x, (gate,) = _ada_ln_zero(block["norm"], x, temb, 3, use_lora=latent_lora)
-    mlp_h = gelu_tanh(linear(block["proj_mlp"], norm_x, use_lora=latent_lora))
-    if use_cond:
-        residual_cond = cond
-        norm_cond, (cond_gate,) = _ada_ln_zero(
-            block["norm"], cond, cond_temb, 3, use_lora=True
+    full = jnp.concatenate([x, cond], axis=1) if use_cond else x
+    luse, lmask = _seg_lora(s_x, s_cond, latent_lora, full.dtype)
+
+    # adaLN-zero (3 chunks: shift, scale, gate)
+    mx = jnp.split(
+        linear(block["norm"]["linear"], silu(temb), use_lora=latent_lora), 3, -1
+    )
+    mc = (
+        jnp.split(
+            linear(block["norm"]["linear"], silu(cond_temb), use_lora=True), 3, -1
         )
-        mlp_cond = gelu_tanh(linear(block["proj_mlp"], norm_cond, use_lora=True))
+        if use_cond
+        else [None] * 3
+    )
+    normed = layer_norm(full)
+    n_full = _seg_affine(
+        normed[:, :s_x], normed[:, s_x:] if use_cond else None,
+        1.0 + mx[1], mx[0], (1.0 + mc[1]) if use_cond else None, mc[0],
+    )
+    mlp_h = gelu_tanh(
+        linear(block["proj_mlp"], n_full, use_lora=luse, lora_mask=lmask)
+    )
 
     attn = block["attn"]
-    q, k, v = _qkv(attn, norm_x, nh, "to", use_lora=latent_lora)
-    q, k = _apply_rope_qk(q, k, *rope_ti)
-    cond_len = 0
-    if use_cond:
-        q_c, k_c, v_c = _qkv(attn, norm_cond, nh, "to", use_lora=True)
-        q_c, k_c = _apply_rope_qk(q_c, k_c, *rope_c)
-        q = jnp.concatenate([q, q_c], axis=2)
-        k = jnp.concatenate([k, k_c], axis=2)
-        v = jnp.concatenate([v, v_c], axis=2)
-        cond_len = norm_cond.shape[1]
+    q, k, v = _qkv(attn, n_full, nh, "to", use_lora=luse, lora_mask=lmask)
+    q, k = _apply_rope_qk(q, k, *rope_full)
 
     mode = "union"
     if not flags.get("union_cond_attn", True):
@@ -470,23 +516,20 @@ def single_block_forward(
     elif flags.get("independent_condition", False):
         mode = "independent"
     out = unified_attention(
-        q, k, v, cond_len=cond_len, mode=mode, c_factor=c_factor,
+        q, k, v, cond_len=s_cond, mode=mode, c_factor=c_factor,
         backend=attn_backend,
     )
     out = _merge_heads(out)
 
-    s_x = x.shape[1]
-    attn_x = out[:, :s_x]
-    h = jnp.concatenate([attn_x, mlp_h], axis=-1)
-    x = residual + gate[:, None, :] * linear(
-        block["proj_out"], h, use_lora=latent_lora
+    h = jnp.concatenate([out, mlp_h], axis=-1)
+    proj = linear(block["proj_out"], h, use_lora=luse, lora_mask=lmask)
+    zero = jnp.zeros_like(mx[2])
+    gated = _seg_affine(
+        proj[:, :s_x], proj[:, s_x:] if use_cond else None,
+        mx[2], zero, mc[2] if use_cond else None, zero,
     )
-    if use_cond:
-        h_c = jnp.concatenate([out[:, s_x:], mlp_cond], axis=-1)
-        cond = residual_cond + cond_gate[:, None, :] * linear(
-            block["proj_out"], h_c, use_lora=True
-        )
-    return x, cond
+    full = full + gated
+    return full[:, :s_x], full[:, s_x:] if use_cond else None
 
 
 # ---------------------------------------------------------------------------
@@ -553,17 +596,20 @@ def flux_forward(
         ct = jnp.full_like(t1000, c_t * 1000.0)
         cond_temb = combined_timestep_embed(params, cfg, ct, pooled, g1000)
 
-    ids_ti = jnp.concatenate([txt_ids, img_ids], axis=0)
-    rope_ti = rope_ops.rope_embed(ids_ti, cfg.axes_dims, cfg.theta)
-    rope_c = (
-        rope_ops.rope_embed(cond_ids, cfg.axes_dims, cfg.theta) if use_cond else None
+    # One RoPE table for the full [txt | img | cond] order — shared by double
+    # and single blocks (single blocks see [txt+img | cond], same order).
+    ids_full = (
+        jnp.concatenate([txt_ids, img_ids, cond_ids], axis=0)
+        if use_cond
+        else jnp.concatenate([txt_ids, img_ids], axis=0)
     )
+    rope_full = rope_ops.rope_embed(ids_full, cfg.axes_dims, cfg.theta)
 
     # --- double blocks (scan over stacked params) ---
     def double_body(carry, block):
         txt_c, img_c, cond_c = carry
         txt_c, img_c, cond_c = double_block_forward(
-            block, cfg, img_c, txt_c, cond_c, temb, cond_temb, rope_ti, rope_c,
+            block, cfg, img_c, txt_c, cond_c, temb, cond_temb, rope_full,
             flags, c_factor, attn_backend,
         )
         return (txt_c, img_c, cond_c), None
@@ -580,7 +626,7 @@ def flux_forward(
         def body2(carry, block):
             (t, i), _ = carry, None
             t, i, _c = double_block_forward(
-                block, cfg, i, t, None, temb, None, rope_ti, None, flags,
+                block, cfg, i, t, None, temb, None, rope_full, flags,
                 c_factor, attn_backend,
             )
             return (t, i), None
@@ -594,7 +640,7 @@ def flux_forward(
     def single_body(carry, block):
         x_c, cond_c = carry
         x_c, cond_c = single_block_forward(
-            block, cfg, x_c, cond_c, temb, cond_temb, rope_ti, rope_c, flags,
+            block, cfg, x_c, cond_c, temb, cond_temb, rope_full, flags,
             c_factor, attn_backend,
         )
         return (x_c, cond_c), None
@@ -605,7 +651,7 @@ def flux_forward(
     else:
         def single_body2(x_c, block):
             x_c, _ = single_block_forward(
-                block, cfg, x_c, None, temb, None, rope_ti, None, flags,
+                block, cfg, x_c, None, temb, None, rope_full, flags,
                 c_factor, attn_backend,
             )
             return x_c, None

@@ -43,6 +43,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Largest square block whose fp32 scores tile (+ q/k/v/m/l/acc) stays inside
+# the ~16 MB scoped-VMEM budget; measured fastest on v5e (121 TF/s at
+# 1280x1280 for S=2560 vs 76 TF/s at 512x512 — fewer grid programs win).
+MAX_BLOCK = 1280
+
+
+def auto_blocks(seq_len: int) -> Tuple[int, int]:
+    """Pick (block_q, block_k) minimising padding waste with the fewest
+    grid tiles subject to the VMEM cap."""
+    s128 = _round_up(seq_len, LANES)
+    if s128 <= MAX_BLOCK:
+        return s128, s128
+    ntiles = 2
+    while True:
+        b = _round_up(-(-s128 // ntiles), LANES)
+        if b <= MAX_BLOCK:
+            return b, b
+        ntiles += 1
+
+
 def _fwd_kernel(
     cbias_ref,  # SMEM (1, 1) fp32: log(c_factor) (0 when unused)
     q_ref, k_ref, v_ref,  # VMEM tiles
@@ -268,20 +288,22 @@ def flash_attention(
     cond_start: int,
     mode: str = "union",
     c_factor: Optional[jnp.ndarray] = None,
-    block_q: int = 512,
-    block_k: int = 256,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, S, D] with condition block semantics.
 
     ``cond_start`` is the first condition-token index (== S when no condition
-    stream).  See module docstring for modes.
+    stream).  See module docstring for modes.  Block sizes default to the
+    measured-optimal `auto_blocks` policy.
     """
     b, h, s, d = q.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    block_q = min(block_q, _round_up(s, LANES))
-    block_k = min(block_k, _round_up(s, LANES))
+    abq, abk = auto_blocks(s)
+    block_q = abq if block_q is None else min(block_q, _round_up(s, LANES))
+    block_k = abk if block_k is None else min(block_k, _round_up(s, LANES))
     if c_factor is not None:
         mode = "cfactor"
         cbias = jnp.log(
