@@ -24,12 +24,18 @@ from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 
+from loongx_tpu import native
+
 
 def _img_to_float(img, size: Optional[int] = None) -> np.ndarray:
-    """PIL -> float32 [H, W, 3] in [0, 1] (ToTensor equivalent, NHWC)."""
-    if size is not None:
-        img = img.resize((size, size))
-    return np.asarray(img.convert("RGB"), np.float32) / 255.0
+    """PIL -> float32 [H, W, 3] in [0, 1] (ToTensor equivalent, NHWC).
+
+    Hot path goes through the native host-ops library (bilinear resize +
+    u8->f32 in one pass, GIL-free so the loader's thread pool scales)."""
+    arr = np.asarray(img.convert("RGB"), np.uint8)
+    if size is not None and arr.shape[:2] != (size, size):
+        return native.resize_bilinear(arr, size, size)
+    return native.u8_to_f32(arr)
 
 
 class SeedDataset:

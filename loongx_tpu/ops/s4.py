@@ -60,24 +60,48 @@ def init_s4d_layer(
     }
 
 
-def _discretise(p: Params):
-    a = -jnp.exp(p["log_A_real"]) + 1j * p["A_imag"]  # [H, N]
+def discretise_real(p: Params):
+    """ZOH discretisation in real arithmetic (TPU backends lack complex
+    support in several code paths — scans, Mosaic).  Returns the real/imag
+    planes (abar_r, abar_i, bbar_r, bbar_i, c_r, c_i), each [H, N]."""
+    a_re = -jnp.exp(p["log_A_real"])  # [H, N]
+    a_im = p["A_imag"]
     dt = jnp.exp(p["log_dt"])[:, None]  # [H, 1]
-    dt_a = a * dt
-    abar = jnp.exp(dt_a)
-    bbar = (abar - 1.0) / a
-    c = p["C"][..., 0] + 1j * p["C"][..., 1]
-    return abar, bbar, c, dt_a
+    dta_re, dta_im = a_re * dt, a_im * dt
+    mag = jnp.exp(dta_re)
+    abar_r = mag * jnp.cos(dta_im)
+    abar_i = mag * jnp.sin(dta_im)
+    # bbar = (abar - 1) / a  (complex division by a, B = 1)
+    denom = a_re * a_re + a_im * a_im
+    num_r, num_i = abar_r - 1.0, abar_i
+    bbar_r = (num_r * a_re + num_i * a_im) / denom
+    bbar_i = (num_i * a_re - num_r * a_im) / denom
+    return abar_r, abar_i, bbar_r, bbar_i, p["C"][..., 0], p["C"][..., 1]
+
+
+def _dta(p: Params):
+    a_re = -jnp.exp(p["log_A_real"])
+    a_im = p["A_imag"]
+    dt = jnp.exp(p["log_dt"])[:, None]
+    return a_re * dt, a_im * dt
 
 
 def s4d_kernel(p: Params, length: int) -> jnp.ndarray:
-    """Materialise the [H, L] real convolution kernel."""
-    _, bbar, c, dt_a = _discretise(p)
-    # K[h, l] = 2 Re( sum_n (C*Bbar)[h,n] * exp(dt_a[h,n] * l) )
-    ctb = c * bbar  # [H, N]
+    """Materialise the [H, L] real convolution kernel (real-arithmetic
+    Vandermonde: K[h,l] = 2 Re(sum_n (C Bbar)[h,n] exp(dtA[h,n] l)))."""
+    _, _, bbar_r, bbar_i, c_r, c_i = discretise_real(p)
+    ctb_r = c_r * bbar_r - c_i * bbar_i  # [H, N]
+    ctb_i = c_r * bbar_i + c_i * bbar_r
+    dta_re, dta_im = _dta(p)
     steps = jnp.arange(length, dtype=jnp.float32)  # [L]
-    vander = jnp.exp(dt_a[:, :, None] * steps[None, None, :])  # [H, N, L]
-    return 2.0 * jnp.real(jnp.einsum("hn,hnl->hl", ctb, vander))
+    mag = jnp.exp(dta_re[:, :, None] * steps[None, None, :])  # [H, N, L]
+    phase = dta_im[:, :, None] * steps[None, None, :]
+    vander_r = mag * jnp.cos(phase)
+    vander_i = mag * jnp.sin(phase)
+    return 2.0 * (
+        jnp.einsum("hn,hnl->hl", ctb_r, vander_r)
+        - jnp.einsum("hn,hnl->hl", ctb_i, vander_i)
+    )
 
 
 def s4d_conv(p: Params, u: jnp.ndarray) -> jnp.ndarray:
@@ -95,21 +119,34 @@ def s4d_conv(p: Params, u: jnp.ndarray) -> jnp.ndarray:
 
 def s4d_scan(p: Params, u: jnp.ndarray) -> jnp.ndarray:
     """Associative-scan recurrent mode (streaming-friendly).  Same contract
-    as `s4d_conv`; numerically equivalent up to float error."""
-    abar, bbar, c, _ = _discretise(p)
+    as `s4d_conv`; numerically equivalent up to float error.  Real-arithmetic
+    complex pairs (TPU-safe)."""
+    abar_r, abar_i, bbar_r, bbar_i, c_r, c_i = discretise_real(p)
     uf = u.astype(jnp.float32)  # [B, L, H]
-    bu = bbar[None, None] * uf[..., None]  # [B, L, H, N] complex
+    bu_r = bbar_r[None, None] * uf[..., None]  # [B, L, H, N]
+    bu_i = bbar_i[None, None] * uf[..., None]
 
-    # Scan elements: (A_prod, x) with combine (a2*a1, a2*x1 + x2) over L.
-    a_elems = jnp.broadcast_to(abar[None, None], bu.shape)
+    a_r = jnp.broadcast_to(abar_r[None, None], bu_r.shape)
+    a_i = jnp.broadcast_to(abar_i[None, None], bu_r.shape)
 
     def combine(l, r):
-        al, xl = l
-        ar, xr = r
-        return al * ar, ar * xl + xr
+        alr, ali, xlr, xli = l
+        arr, ari, xrr, xri = r
+        # a = ar*al (complex); x = ar*xl + xr
+        return (
+            arr * alr - ari * ali,
+            arr * ali + ari * alr,
+            arr * xlr - ari * xli + xrr,
+            arr * xli + ari * xlr + xri,
+        )
 
-    _, xs = jax.lax.associative_scan(combine, (a_elems, bu), axis=1)
-    y = 2.0 * jnp.real(jnp.einsum("hn,blhn->blh", c, xs))
+    _, _, xs_r, xs_i = jax.lax.associative_scan(
+        combine, (a_r, a_i, bu_r, bu_i), axis=1
+    )
+    y = 2.0 * (
+        jnp.einsum("hn,blhn->blh", c_r, xs_r)
+        - jnp.einsum("hn,blhn->blh", c_i, xs_i)
+    )
     y = y + uf * p["D"][None, None, :]
     return y.astype(u.dtype)
 
