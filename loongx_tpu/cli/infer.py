@@ -23,6 +23,7 @@ from typing import Dict, Optional
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 
 def load_brain_data(pkl_path: str) -> Dict:
@@ -96,31 +97,79 @@ def edit_one(
 
 
 def batch_edit(pipeline, args, brain_data, captions):
-    """Directory batch mode; images stream through the device mesh batch
-    axis (replaces reference batch_inference + distributed worker loop)."""
+    """Directory batch mode: images are grouped into device-count-sized
+    batches and edited in ONE sharded generate call per group — the mesh
+    replaces the reference's mp.spawn + NCCL + per-rank chunking loop
+    (inference.py:177-261)."""
+    import numpy as np
+    from PIL import Image
+
+    from loongx_tpu.sampling import generate
+    from loongx_tpu.sampling.condition import synthesize_condition_image
+    from loongx_tpu.ops.latents import latent_image_ids, shift_ids
+
     os.makedirs(args.output_dir, exist_ok=True)
     files = sorted(
         f for f in os.listdir(args.input_dir)
         if f.lower().endswith((".png", ".jpg", ".jpeg"))
     )
-    print(f"[infer] {len(files)} images on {len(jax.devices())} device(s)")
-    for i, fname in enumerate(files):
-        prompt = captions.get(fname, args.prompt or "")
-        brain = brain_data.get(fname, {})
-        img = edit_one(
-            pipeline,
-            os.path.join(args.input_dir, fname),
-            prompt,
-            condition_type=args.condition_type,
-            target_size=args.target_size,
-            position_delta=(args.position_delta_x, args.position_delta_y),
-            brain=brain,
-            seed=args.seed,
-            fuse_flag=args.fuse,
+    n_dev = len(jax.devices())
+    group = max(args.batch_size or n_dev, 1)
+    print(f"[infer] {len(files)} images, groups of {group} on {n_dev} device(s)")
+    size = args.target_size
+    done = 0
+    for start in range(0, len(files), group):
+        chunk = files[start : start + group]
+        conds, prompts = [], []
+        for fname in chunk:
+            img = Image.open(
+                os.path.join(args.input_dir, fname)
+            ).convert("RGB").resize((size, size))
+            cimg = synthesize_condition_image(args.condition_type, img)
+            arr = np.asarray(cimg, np.float32)[None] / 127.5 - 1.0
+            toks, h, w = pipeline.encode_image_tokens(jnp.asarray(arr))
+            conds.append(np.asarray(toks[0]))
+            prompts.append(captions.get(fname, args.prompt or ""))
+        cond_tokens = jnp.asarray(np.stack(conds))
+        cond_ids = shift_ids(
+            latent_image_ids(h, w),
+            (args.position_delta_x, args.position_delta_y),
         )
-        out_path = os.path.join(args.output_dir, fname)
-        img.save(out_path)
-        print(f"[infer] [{i + 1}/{len(files)}] {out_path}")
+        # biosignals: batch only when every image in the group has them
+        brains = [brain_data.get(f, {}) for f in chunk]
+        use_brain = all(b.get("EEG") is not None for b in brains) and brains
+        kw = {}
+        if use_brain:
+            for key, name in (("EEG", "eeg"), ("FNIRS", "fnirs"),
+                              ("PPG", "ppg"), ("Motion", "motion")):
+                vals = [b.get(key) for b in brains]
+                if all(v is not None for v in vals):
+                    from loongx_tpu.models.encoders import canonicalise_signal
+
+                    kw[name] = jnp.stack([
+                        canonicalise_signal(jnp.asarray(v, jnp.float32), name)[0]
+                        for v in vals
+                    ])
+        out = generate(
+            pipeline,
+            prompt=prompts,
+            cond_tokens=cond_tokens,
+            cond_ids=cond_ids,
+            height=size,
+            width=size,
+            num_inference_steps=args.steps,
+            guidance_scale=args.guidance,
+            seed=args.seed,
+            use_brain_condition=bool(kw),
+            fuse_flag=args.fuse,
+            output_type="uint8",
+            **kw,
+        )
+        for fname, arr in zip(chunk, out):
+            out_path = os.path.join(args.output_dir, fname)
+            Image.fromarray(arr).save(out_path)
+            done += 1
+            print(f"[infer] [{done}/{len(files)}] {out_path}")
 
 
 def main(argv=None):
@@ -142,6 +191,8 @@ def main(argv=None):
     parser.add_argument("--brain_data_path", type=str, default=None)
     parser.add_argument("--steps", type=int, default=28)
     parser.add_argument("--guidance", type=float, default=3.5)
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="images per sharded batch (default: #devices)")
     parser.add_argument("--fuse", action="store_true",
                         help="DUAN-fuse brain+text instead of replacing")
     parser.add_argument("--lora", type=str, default=None,

@@ -322,10 +322,6 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
-def _apply_rope_qk(q, k, cos, sin):
-    return rope_ops.apply_rope(q, cos, sin), rope_ops.apply_rope(k, cos, sin)
-
-
 def _seg_lora(
     s_img: int, s_cond: int, latent_lora: bool, dtype
 ) -> Tuple[bool, Optional[jnp.ndarray]]:
@@ -411,16 +407,16 @@ def double_block_forward(
     q = jnp.concatenate([q_t, q_l], axis=2)
     k = jnp.concatenate([k_t, k_l], axis=2)
     v = jnp.concatenate([v_t, v_l], axis=2)
-    q, k = _apply_rope_qk(q, k, *rope_full)
 
     mode = "union"
     if not flags.get("union_cond_attn", True):
         mode = "no_union"
     elif flags.get("independent_condition", False):
         mode = "independent"
+    # RoPE rides into the attention backend (fused in the Pallas kernel)
     out = unified_attention(
         q, k, v, cond_len=s_cond, mode=mode, c_factor=c_factor,
-        backend=attn_backend,
+        rope=rope_full, backend=attn_backend,
     )
     out = _merge_heads(out)
 
@@ -508,7 +504,6 @@ def single_block_forward(
 
     attn = block["attn"]
     q, k, v = _qkv(attn, n_full, nh, "to", use_lora=luse, lora_mask=lmask)
-    q, k = _apply_rope_qk(q, k, *rope_full)
 
     mode = "union"
     if not flags.get("union_cond_attn", True):
@@ -517,7 +512,7 @@ def single_block_forward(
         mode = "independent"
     out = unified_attention(
         q, k, v, cond_len=s_cond, mode=mode, c_factor=c_factor,
-        backend=attn_backend,
+        rope=rope_full, backend=attn_backend,
     )
     out = _merge_heads(out)
 

@@ -22,7 +22,7 @@ per-tile inside the kernel.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +85,7 @@ def unified_attention(
     cond_len: int = 0,
     mode: str = "union",
     c_factor: Optional[jnp.ndarray] = None,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     backend: str = "auto",
 ) -> jnp.ndarray:
     """Attention over the unified [txt|img|cond] sequence.
@@ -96,6 +97,8 @@ def unified_attention(
       mode: one of MODES; see module docstring.
       c_factor: optional scalar condition-strength factor (traced); when given
         it overrides ``mode`` with the additive log-bias formulation.
+      rope: optional (cos, sin) [S, Dh] tables — RoPE is applied to q/k
+        inside the Pallas kernel (fused), or up front on the XLA path.
       backend: "auto" | "xla" | "pallas".
 
     Returns: [B, H, S, Dh] in q's dtype.
@@ -113,7 +116,13 @@ def unified_attention(
         from loongx_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(
-            q, k, v, cond_start=cond_start, mode=mode, c_factor=c_factor
+            q, k, v, cond_start=cond_start, mode=mode, c_factor=c_factor,
+            rope=rope,
         )
+    if rope is not None:
+        from loongx_tpu.ops.rope import apply_rope
+
+        q = apply_rope(q, *rope)
+        k = apply_rope(k, *rope)
     bias = _block_bias(s, s, cond_start, mode, c_factor)
     return attention_xla(q, k, v, bias)

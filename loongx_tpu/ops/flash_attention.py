@@ -63,15 +63,37 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
         ntiles += 1
 
 
+def _pair_swap_matrix(d: int) -> jnp.ndarray:
+    """Antisymmetric [D, D] matrix R with (x @ R)[2k] = -x[2k+1],
+    (x @ R)[2k+1] = x[2k] — the interleaved-pair rotation partner used by
+    RoPE, expressed as a tiny MXU matmul (lane shuffles are slow on TPU)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    plus = (row % 2 == 0) & (col == row + 1)  # x[2k] -> out[2k+1]
+    minus = (row % 2 == 1) & (col == row - 1)  # x[2k+1] -> -out[2k]
+    return jnp.where(plus, 1.0, jnp.where(minus, -1.0, 0.0)).astype(
+        jnp.float32
+    )
+
+
+def _rope_rotate(x, cos, sin, r):
+    """x [S, D] (any float dtype) -> RoPE-rotated, fp32 math, x.dtype out."""
+    xf = x.astype(jnp.float32)
+    xr = jax.lax.dot(xf, r, preferred_element_type=jnp.float32)
+    return (xf * cos + xr * sin).astype(x.dtype)
+
+
 def _fwd_kernel(
     cbias_ref,  # SMEM (1, 1) fp32: log(c_factor) (0 when unused)
     q_ref, k_ref, v_ref,  # VMEM tiles
+    cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,  # VMEM rope tiles (or None)
     o_ref,  # output tile
     m_ref, l_ref, acc_ref,  # VMEM scratch
     *,
     scale: float,
     mode: str,
     use_cfactor: bool,
+    use_rope: bool,
     cond_start: int,
     seq_len: int,
     block_q: int,
@@ -89,6 +111,10 @@ def _fwd_kernel(
 
     q = q_ref[0, 0]  # [block_q, D]
     k = k_ref[0, 0]  # [block_k, D]
+    if use_rope:
+        r = _pair_swap_matrix(q.shape[-1])
+        q = _rope_rotate(q, cos_q_ref[...], sin_q_ref[...], r)
+        k = _rope_rotate(k, cos_k_ref[...], sin_k_ref[...], r)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [block_q, block_k]
@@ -141,17 +167,22 @@ def _fwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cond_start", "mode", "block_q", "block_k", "interpret"),
+    static_argnames=(
+        "cond_start", "mode", "block_q", "block_k", "use_rope", "interpret",
+    ),
 )
 def _flash_fwd(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     cbias: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
     cond_start: int,
     mode: str,
     block_q: int,
     block_k: int,
+    use_rope: bool,
     interpret: bool,
 ) -> jnp.ndarray:
     b, h, s, d = q.shape
@@ -164,6 +195,9 @@ def _flash_fwd(
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
+        if use_rope:
+            cos = jnp.pad(cos, [(0, s_pad - s), (0, 0)])
+            sin = jnp.pad(sin, [(0, s_pad - s), (0, 0)])
     num_q = s_pad // block_q
     num_kv = s_pad // block_k
 
@@ -172,12 +206,27 @@ def _flash_fwd(
         scale=scale,
         mode=mode,
         use_cfactor=use_cfactor,
+        use_rope=use_rope,
         cond_start=cond_start,
         seq_len=s,
         block_q=block_q,
         block_k=block_k,
         num_kv=num_kv,
     )
+    if use_rope:
+        rope_specs = [
+            pl.BlockSpec((block_q, d), lambda b, h, qi, ki: (qi, 0)),
+            pl.BlockSpec((block_q, d), lambda b, h, qi, ki: (qi, 0)),
+            pl.BlockSpec((block_k, d), lambda b, h, qi, ki: (ki, 0)),
+            pl.BlockSpec((block_k, d), lambda b, h, qi, ki: (ki, 0)),
+        ]
+        rope_args = (cos, sin, cos, sin)
+    else:
+        # tiny dummies; kernel never reads them when use_rope=False
+        dummy = jnp.zeros((8, d), jnp.float32)
+        rope_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        rope_args = (dummy, dummy, dummy, dummy)
+
     out = pl.pallas_call(
         kernel,
         grid=(b, h, num_q, num_kv),
@@ -192,6 +241,7 @@ def _flash_fwd(
             pl.BlockSpec(
                 (1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0)
             ),
+            *rope_specs,
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
@@ -211,7 +261,7 @@ def _flash_fwd(
             transcendentals=b * h * s_pad * s_pad,
         ),
         interpret=interpret,
-    )(cbias, q, k, v)
+    )(cbias, q, k, v, *rope_args)
     return out[:, :, :s, :]
 
 
@@ -234,29 +284,54 @@ def _bias_for(s_q: int, cond_start: int, mode: str, cbias: jnp.ndarray):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
 )
-def _flash_attention(q, k, v, cbias, cond_start, mode, block_q, block_k,
-                     interpret):
-    return _flash_fwd(q, k, v, cbias, cond_start, mode, block_q, block_k,
-                      interpret)
+def _flash_attention(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
+                     block_k, use_rope, interpret):
+    return _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
+                      block_k, use_rope, interpret)
 
 
-def _flash_attention_fwd(q, k, v, cbias, cond_start, mode, block_q, block_k,
-                         interpret):
-    o = _flash_fwd(q, k, v, cbias, cond_start, mode, block_q, block_k,
-                   interpret)
-    return o, (q, k, v, cbias)
+def _flash_attention_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
+                         block_k, use_rope, interpret):
+    o = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
+                   block_k, use_rope, interpret)
+    return o, (q, k, v, cbias, cos, sin)
 
 
-def _flash_attention_bwd(cond_start, mode, block_q, block_k, interpret,
-                         residuals, do):
+def _xla_rope(x, cos, sin):
+    """XLA-side rotation matching the in-kernel interleaved-pair RoPE."""
+    xf = x.astype(jnp.float32)
+    x_pair = xf.reshape(*xf.shape[:-1], -1, 2)
+    x_rot = jnp.stack([-x_pair[..., 1], x_pair[..., 0]], axis=-1).reshape(
+        xf.shape
+    )
+    return xf * cos + x_rot * sin
+
+
+def _xla_rope_bwd(g, cos, sin):
+    """Transpose of `_xla_rope` w.r.t. x (rotation by -angle)."""
+    gf = g.astype(jnp.float32)
+    g_pair = gf.reshape(*gf.shape[:-1], -1, 2)
+    g_rot = jnp.stack([g_pair[..., 1], -g_pair[..., 0]], axis=-1).reshape(
+        gf.shape
+    )
+    return gf * cos + g_rot * sin
+
+
+def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
+                         interpret, residuals, do):
     """Exact backward via XLA recompute (fp32).  dP = P * (dS_hat - rowsum);
-    standard softmax-attention gradient."""
-    q, k, v, cbias = residuals
+    standard softmax-attention gradient.  When RoPE is fused, q/k are
+    re-rotated for the recompute and the incoming dq/dk are counter-rotated
+    (rotation is orthogonal/linear)."""
+    q, k, v, cbias, cos, sin = residuals
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
     qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    if use_rope:
+        qf = _xla_rope(qf, cos, sin)
+        kf = _xla_rope(kf, cos, sin)
     dof = do.astype(jnp.float32)
     s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
     s = s + _bias_for(q.shape[2], cond_start, mode, cbias)[None, None]
@@ -267,6 +342,9 @@ def _flash_attention_bwd(cond_start, mode, block_q, block_k, interpret,
     ds = p * (dp - delta)
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    if use_rope:
+        dq = _xla_rope_bwd(dq, cos, sin)
+        dk = _xla_rope_bwd(dk, cos, sin)
     if mode == "cfactor":
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape[-2:], 0) >= cond_start
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape[-2:], 1) >= cond_start
@@ -274,7 +352,10 @@ def _flash_attention_bwd(cond_start, mode, block_q, block_k, interpret,
         dcbias = jnp.full((1, 1), dcb, jnp.float32)
     else:
         dcbias = jnp.zeros((1, 1), jnp.float32)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dcbias
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dcbias,
+        jnp.zeros_like(cos), jnp.zeros_like(sin),
+    )
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
@@ -288,6 +369,7 @@ def flash_attention(
     cond_start: int,
     mode: str = "union",
     c_factor: Optional[jnp.ndarray] = None,
+    rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -295,8 +377,9 @@ def flash_attention(
     """Flash attention over [B, H, S, D] with condition block semantics.
 
     ``cond_start`` is the first condition-token index (== S when no condition
-    stream).  See module docstring for modes.  Block sizes default to the
-    measured-optimal `auto_blocks` policy.
+    stream).  ``rope`` = (cos, sin) tables [S, D] fuses the rotary embedding
+    of q/k into the kernel (interleaved-pair convention, as ops/rope.py).
+    Block sizes default to the measured-optimal `auto_blocks` policy.
     """
     b, h, s, d = q.shape
     if interpret is None:
@@ -311,6 +394,14 @@ def flash_attention(
         )
     else:
         cbias = jnp.zeros((1, 1), jnp.float32)
+    use_rope = rope is not None
+    if use_rope:
+        cos, sin = rope
+        cos = cos.astype(jnp.float32)
+        sin = sin.astype(jnp.float32)
+    else:
+        cos = sin = jnp.zeros((8, d), jnp.float32)
     return _flash_attention(
-        q, k, v, cbias, cond_start, mode, block_q, block_k, interpret
+        q, k, v, cbias, cos, sin, cond_start, mode, block_q, block_k,
+        use_rope, interpret,
     )

@@ -146,6 +146,8 @@ def generate(
     prompt_embeds: Optional[jnp.ndarray] = None,
     pooled_prompt_embeds: Optional[jnp.ndarray] = None,
     condition_scale: float = 1.0,
+    cond_tokens: Optional[jnp.ndarray] = None,
+    cond_ids: Optional[jnp.ndarray] = None,
     eeg=None,
     fnirs=None,
     ppg=None,
@@ -208,8 +210,8 @@ def generate(
         latents = latents.astype(pipeline.dtype)
     img_ids = latent_image_ids(lat_h, lat_w)
 
-    # ---- condition tokens ----
-    cond_tokens = cond_ids = None
+    # ---- condition tokens (from a Condition object, or precomputed
+    # per-sample arrays for batched multi-image editing) ----
     if conditions:
         if len(conditions) > 1:
             raise NotImplementedError("only one condition supported (parity)")
@@ -218,6 +220,12 @@ def generate(
             toks.astype(pipeline.dtype), (batch,) + toks.shape[1:]
         )
         cond_ids = ids
+    elif cond_tokens is not None:
+        cond_tokens = jnp.asarray(cond_tokens, pipeline.dtype)
+        if cond_tokens.ndim == 2:
+            cond_tokens = jnp.broadcast_to(
+                cond_tokens[None], (batch,) + cond_tokens.shape
+            )
 
     # ---- schedule ----
     sigmas = jnp.asarray(flux_sigmas(num_inference_steps, latents.shape[1]))

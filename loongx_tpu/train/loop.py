@@ -105,6 +105,32 @@ def train(
     state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
     step_jit = jax.jit(step_fn, donate_argnums=(0,))
 
+    # periodic visual-regression probe from the first dataset sample
+    # (reference generate_a_sample, callbacks.py:91-328)
+    sample_fn = None
+    if tcfg.sample_interval and len(dataset) > 0:
+        try:
+            from loongx_tpu.train.sampling_probe import SampleProbe
+
+            probe_sample = dataset[0]
+            biosig = {
+                key.upper(): probe_sample[k]
+                for k, key in (("eeg", "eeg"), ("fnirs", "fnirs"),
+                               ("ppg", "ppg"), ("motion", "motion"))
+                if probe_sample.get(k) is not None
+            }
+            sample_fn = SampleProbe(
+                pipeline,
+                condition_type=tcfg.condition_type,
+                probe_image=probe_sample.get("condition"),
+                prompt=probe_sample.get("description", ""),
+                biosignals=biosig or None,
+                out_dir=os.path.join(tcfg.save_path, run_name, "samples"),
+                size=tcfg.dataset.target_size,
+            )
+        except Exception as exc:
+            print(f"[train] sample probe unavailable: {exc}")
+
     callback = TrainingCallback(
         run_name=run_name,
         save_path=tcfg.save_path,
@@ -112,6 +138,7 @@ def train(
         sample_interval=tcfg.sample_interval,
         use_wandb=use_wandb if use_wandb is not None else bool(tcfg.wandb),
         wandb_config=tcfg.wandb,
+        sample_fn=sample_fn,
     )
 
     total = max_steps or tcfg.max_steps

@@ -1,0 +1,91 @@
+"""Inference CLI end-to-end on the tiny pipeline (single + batched modes)."""
+
+import json
+import os
+import pickle
+
+import jax
+import numpy as np
+import pytest
+
+from loongx_tpu.models.pipeline import LoongXPipeline
+
+
+class FakeTokenizer:
+    def __init__(self, vocab_size, max_len):
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+
+    def __call__(self, prompts, padding=None, max_length=None, truncation=None,
+                 return_tensors=None):
+        max_length = max_length or self.max_len
+        ids = np.zeros((len(prompts), max_length), np.int32)
+        for i, p in enumerate(prompts):
+            for j, ch in enumerate(p[:max_length]):
+                ids[i, j] = (ord(ch) + j) % self.vocab_size
+
+        class R:
+            input_ids = ids
+
+        return R()
+
+
+@pytest.fixture()
+def tiny_pipe():
+    pipe = LoongXPipeline.tiny(jax.random.key(0))
+    pipe.t5_tokenizer = FakeTokenizer(pipe.t5_cfg.vocab_size, 8)
+    pipe.clip_tokenizer = FakeTokenizer(pipe.clip_cfg.vocab_size, 8)
+    pipe.max_sequence_length = 8
+    return pipe
+
+
+def _make_inputs(tmp_path, n=3):
+    from PIL import Image
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(n):
+        name = f"img{i}_0.png"
+        Image.fromarray(
+            rng.randint(0, 255, (16, 16, 3), np.uint8)
+        ).save(in_dir / name)
+        names.append(name)
+    return str(in_dir), names
+
+
+def test_edit_one(tiny_pipe, tmp_path):
+    from loongx_tpu.cli.infer import edit_one
+
+    in_dir, names = _make_inputs(tmp_path, 1)
+    img = edit_one(
+        tiny_pipe, os.path.join(in_dir, names[0]), "make it blue",
+        condition_type="subject", target_size=16, num_steps=1,
+    )
+    assert img.size == (16, 16)
+
+
+def test_batch_edit_groups(tiny_pipe, tmp_path):
+    from loongx_tpu.cli.infer import batch_edit
+
+    in_dir, names = _make_inputs(tmp_path, 3)
+    out_dir = tmp_path / "out"
+
+    class Args:
+        input_dir = in_dir
+        output_dir = str(out_dir)
+        condition_type = "subject"
+        target_size = 16
+        position_delta_x = 0
+        position_delta_y = -1
+        seed = 0
+        prompt = "edit"
+        fuse = False
+        steps = 1
+        guidance = 3.5
+        batch_size = 2
+
+    batch_edit(tiny_pipe, Args, {}, {})
+    outs = sorted(os.listdir(out_dir))
+    assert outs == sorted(names)
