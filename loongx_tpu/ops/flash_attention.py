@@ -86,20 +86,23 @@ def _rope_rotate(x, cos, sin, r):
 def _fwd_kernel(
     cbias_ref,  # SMEM (1, 1) fp32: log(c_factor) (0 when unused)
     q_ref, k_ref, v_ref,  # VMEM tiles
-    cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,  # VMEM rope tiles (or None)
-    o_ref,  # output tile
-    m_ref, l_ref, acc_ref,  # VMEM scratch
-    *,
+    cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,  # VMEM rope tiles (or dummies)
+    *refs,  # outputs (o [+ m_out, l_out]) then scratch (m, l, acc)
     scale: float,
     mode: str,
     use_cfactor: bool,
     use_rope: bool,
+    save_residuals: bool,
     cond_start: int,
     seq_len: int,
     block_q: int,
     block_k: int,
     num_kv: int,
 ):
+    if save_residuals:
+        o_ref, m_out_ref, l_out_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = refs
     kv_idx = pl.program_id(3)
     q_idx = pl.program_id(2)
 
@@ -163,12 +166,16 @@ def _fwd_kernel(
         l_final = l_ref[...][:, :1]
         safe_l = jnp.where(l_final == 0.0, 1.0, l_final)
         o_ref[0, 0] = (acc_ref[...] / safe_l).astype(o_ref.dtype)
+        if save_residuals:
+            m_out_ref[0, 0] = m_ref[...]
+            l_out_ref[0, 0] = l_ref[...]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cond_start", "mode", "block_q", "block_k", "use_rope", "interpret",
+        "cond_start", "mode", "block_q", "block_k", "use_rope",
+        "save_residuals", "interpret",
     ),
 )
 def _flash_fwd(
@@ -184,7 +191,8 @@ def _flash_fwd(
     block_k: int,
     use_rope: bool,
     interpret: bool,
-) -> jnp.ndarray:
+    save_residuals: bool = False,
+):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     use_cfactor = mode == "cfactor"
@@ -207,6 +215,7 @@ def _flash_fwd(
         mode=mode,
         use_cfactor=use_cfactor,
         use_rope=use_rope,
+        save_residuals=save_residuals,
         cond_start=cond_start,
         seq_len=s,
         block_q=block_q,
@@ -227,6 +236,23 @@ def _flash_fwd(
         rope_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         rope_args = (dummy, dummy, dummy, dummy)
 
+    o_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
+    )
+    stat_spec = pl.BlockSpec(
+        (1, 1, block_q, LANES), lambda b, h, qi, ki: (b, h, qi, 0)
+    )
+    if save_residuals:
+        out_specs = (o_spec, stat_spec, stat_spec)
+        out_shape = (
+            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s_pad, LANES), jnp.float32),
+        )
+    else:
+        out_specs = o_spec
+        out_shape = jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype)
+
     out = pl.pallas_call(
         kernel,
         grid=(b, h, num_q, num_kv),
@@ -243,10 +269,8 @@ def _flash_fwd(
             ),
             *rope_specs,
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -262,7 +286,273 @@ def _flash_fwd(
         ),
         interpret=interpret,
     )(cbias, q, k, v, *rope_args)
+    if save_residuals:
+        o, m, l = out
+        return o[:, :, :s, :], m[:, :, :s, :1], l[:, :, :s, :1]
     return out[:, :, :s, :]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (dKV + dQ, Dao-style two-pass)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_mask_and_p(
+    s, row0, col0, m_tile, l_tile, *, scale, mode, cond_start, seq_len,
+    block_q, block_k,
+):
+    """Recompute normalised attention probabilities for one (q, kv) tile pair
+    from the saved (m, l) statistics, applying the same masks as forward."""
+    s = s * scale
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + row0
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + col0
+    if seq_len % block_k != 0:
+        s = jnp.where(col_ids < seq_len, s, MASK_VALUE)
+    row_cond = row_ids >= cond_start
+    col_cond = col_ids >= cond_start
+    if mode == "no_union":
+        s = jnp.where(row_cond == col_cond, s, MASK_VALUE)
+    elif mode == "independent":
+        s = jnp.where(row_cond & ~col_cond, MASK_VALUE, s)
+    l_safe = jnp.where(l_tile == 0.0, 1.0, l_tile)
+    m_safe = jnp.where(l_tile == 0.0, 0.0, m_tile)
+    p = jnp.exp(s - m_safe) / l_safe
+    if seq_len % block_q != 0:
+        p = jnp.where(row_ids[:, :1] < seq_len, p, 0.0)
+    return p
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
+    cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *,
+    scale, mode, use_rope, cond_start, seq_len, block_q, block_k, num_q,
+):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    if use_rope:
+        r = _pair_swap_matrix(q.shape[-1])
+        q = _rope_rotate(q, cos_q_ref[...], sin_q_ref[...], r)
+        k = _rope_rotate(k, cos_k_ref[...], sin_k_ref[...], r)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = _bwd_mask_and_p(
+        s, qi * block_q, ki * block_k, m_ref[0, 0][:, :1], l_ref[0, 0][:, :1],
+        scale=scale, mode=mode, cond_start=cond_start, seq_len=seq_len,
+        block_q=block_q, block_k=block_k,
+    )
+    do = do_ref[0, 0].astype(jnp.float32)
+    # dv += p^T do
+    dv_acc[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dp = do v^T ; ds = p (dp - di) * scale
+    v = v_ref[0, 0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di_ref[0, 0][:, :1]) * scale
+    # dk += ds^T q
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == num_q - 1)
+    def _store():
+        dk = dk_acc[...]
+        if use_rope:
+            r = _pair_swap_matrix(dk.shape[-1])
+            rot = jax.lax.dot(dk, r, preferred_element_type=jnp.float32)
+            dk = dk * cos_k_ref[...] - rot * sin_k_ref[...]
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
+    cos_q_ref, sin_q_ref, cos_k_ref, sin_k_ref,
+    dq_ref,
+    dq_acc,
+    *,
+    scale, mode, use_rope, cond_start, seq_len, block_q, block_k, num_kv,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    if use_rope:
+        r = _pair_swap_matrix(q.shape[-1])
+        q = _rope_rotate(q, cos_q_ref[...], sin_q_ref[...], r)
+        k = _rope_rotate(k, cos_k_ref[...], sin_k_ref[...], r)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    p = _bwd_mask_and_p(
+        s, qi * block_q, ki * block_k, m_ref[0, 0][:, :1], l_ref[0, 0][:, :1],
+        scale=scale, mode=mode, cond_start=cond_start, seq_len=seq_len,
+        block_q=block_q, block_k=block_k,
+    )
+    do = do_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - di_ref[0, 0][:, :1]) * scale
+    dq_acc[...] += jax.lax.dot(
+        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == num_kv - 1)
+    def _store():
+        dq = dq_acc[...]
+        if use_rope:
+            r = _pair_swap_matrix(dq.shape[-1])
+            rot = jax.lax.dot(dq, r, preferred_element_type=jnp.float32)
+            dq = dq * cos_q_ref[...] - rot * sin_q_ref[...]
+        dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cond_start", "mode", "block_q", "block_k", "use_rope", "interpret",
+    ),
+)
+def _flash_bwd_pallas(
+    q, k, v, cos, sin, o, m, l, do,
+    cond_start, mode, block_q, block_k, use_rope, interpret,
+):
+    """Pallas dKV + dQ passes.  Returns (dq, dk, dv)."""
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    di = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [B, H, S, 1]
+
+    s_pad = _round_up(s, max(block_q, block_k))
+    if s_pad != s:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v, do = (jnp.pad(x, pad) for x in (q, k, v, do))
+        m = jnp.pad(m, pad[:3] + [(0, 0)])
+        l = jnp.pad(l, pad[:3] + [(0, 0)])
+        di = jnp.pad(di, pad[:3] + [(0, 0)])
+        if use_rope:
+            cos = jnp.pad(cos, [(0, s_pad - s), (0, 0)])
+            sin = jnp.pad(sin, [(0, s_pad - s), (0, 0)])
+    num_q = s_pad // block_q
+    num_kv = s_pad // block_k
+
+    # stats tiles are loaded [block_q, LANES]; broadcast the single column
+    stats = [
+        jnp.broadcast_to(x, x.shape[:3] + (LANES,)) for x in (m, l, di)
+    ]
+
+    def q_spec(bq):
+        return pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0))
+
+    def kv_spec(bk):
+        return pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, i, 0))
+
+    if use_rope:
+        rq = lambda bq: pl.BlockSpec((bq, d), lambda b, h, i, j: (i, 0))
+        rk = lambda bk: pl.BlockSpec((bk, d), lambda b, h, i, j: (i, 0))
+    else:
+        rq = rk = lambda _: pl.BlockSpec(memory_space=pltpu.VMEM)
+    dummy = jnp.zeros((8, d), jnp.float32)
+    rope_args = (cos, sin, cos, sin) if use_rope else (dummy,) * 4
+
+    common = dict(
+        scale=scale, mode=mode, use_rope=use_rope, cond_start=cond_start,
+        seq_len=s, block_q=block_q, block_k=block_k,
+    )
+
+    # ---- dKV pass: grid (b, h, kv, q) — q innermost accumulation ----
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, num_q=num_q, **common)
+    qi_spec = pl.BlockSpec((1, 1, block_q, d), lambda b, h, ki, qi: (b, h, qi, 0))
+    ki_spec = pl.BlockSpec((1, 1, block_k, d), lambda b, h, ki, qi: (b, h, ki, 0))
+    stat_q = pl.BlockSpec(
+        (1, 1, block_q, LANES), lambda b, h, ki, qi: (b, h, qi, 0)
+    )
+    rope_q = (
+        pl.BlockSpec((block_q, d), lambda b, h, ki, qi: (qi, 0))
+        if use_rope else pl.BlockSpec(memory_space=pltpu.VMEM)
+    )
+    rope_k = (
+        pl.BlockSpec((block_k, d), lambda b, h, ki, qi: (ki, 0))
+        if use_rope else pl.BlockSpec(memory_space=pltpu.VMEM)
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, h, num_kv, num_q),
+        in_specs=[qi_spec, ki_spec, ki_spec, qi_spec, stat_q, stat_q, stat_q,
+                  rope_q, rope_q, rope_k, rope_k],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ki, qi: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ki, qi: (b, h, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, *stats, *rope_args)
+
+    # ---- dQ pass: grid (b, h, q, kv) — kv innermost accumulation ----
+    dq_kernel = functools.partial(_bwd_dq_kernel, num_kv=num_kv, **common)
+    qi_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0))
+    ki_spec2 = pl.BlockSpec((1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0))
+    stat_q2 = pl.BlockSpec(
+        (1, 1, block_q, LANES), lambda b, h, qi, ki: (b, h, qi, 0)
+    )
+    rope_q2 = (
+        pl.BlockSpec((block_q, d), lambda b, h, qi, ki: (qi, 0))
+        if use_rope else pl.BlockSpec(memory_space=pltpu.VMEM)
+    )
+    rope_k2 = (
+        pl.BlockSpec((block_k, d), lambda b, h, qi, ki: (ki, 0))
+        if use_rope else pl.BlockSpec(memory_space=pltpu.VMEM)
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, h, num_q, num_kv),
+        in_specs=[qi_spec2, ki_spec2, ki_spec2, qi_spec2, stat_q2, stat_q2,
+                  stat_q2, rope_q2, rope_q2, rope_k2, rope_k2],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, *stats, *rope_args)
+
+    return dq[:, :, :s], dk[:, :, :s], dv[:, :, :s]
 
 
 # ---------------------------------------------------------------------------
@@ -294,9 +584,14 @@ def _flash_attention(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
 
 def _flash_attention_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
                          block_k, use_rope, interpret):
-    o = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                   block_k, use_rope, interpret)
-    return o, (q, k, v, cbias, cos, sin)
+    if mode == "cfactor":
+        # cbias needs a gradient — XLA recompute backward keeps it exact
+        o = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
+                       block_k, use_rope, interpret)
+        return o, (q, k, v, cbias, cos, sin, None, None, None)
+    o, m, l = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
+                         block_k, use_rope, interpret, save_residuals=True)
+    return o, (q, k, v, cbias, cos, sin, o, m, l)
 
 
 def _xla_rope(x, cos, sin):
@@ -321,11 +616,22 @@ def _xla_rope_bwd(g, cos, sin):
 
 def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
                          interpret, residuals, do):
-    """Exact backward via XLA recompute (fp32).  dP = P * (dS_hat - rowsum);
-    standard softmax-attention gradient.  When RoPE is fused, q/k are
-    re-rotated for the recompute and the incoming dq/dk are counter-rotated
-    (rotation is orthogonal/linear)."""
-    q, k, v, cbias, cos, sin = residuals
+    """Backward pass.
+
+    Mask modes (union / no_union / independent) use the Pallas dKV + dQ
+    kernels with the saved (o, m, l) residuals — no [S, S] materialisation.
+    The ``cfactor`` mode (inference-only condition strength, which would need
+    a cbias gradient) falls back to exact XLA recompute."""
+    q, k, v, cbias, cos, sin, o, m, l = residuals
+    if mode != "cfactor":
+        dq, dk, dv = _flash_bwd_pallas(
+            q, k, v, cos, sin, o, m, l, do, cond_start, mode, block_q,
+            block_k, use_rope, interpret,
+        )
+        return (
+            dq, dk, dv, jnp.zeros((1, 1), jnp.float32),
+            jnp.zeros_like(cos), jnp.zeros_like(sin),
+        )
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
     qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))

@@ -100,3 +100,46 @@ def test_grad_matches_xla():
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-3)
+
+
+def test_pallas_backward_mask_modes():
+    """The Pallas dKV/dQ kernels (non-cfactor modes) must match XLA grads."""
+    q, k, v = make_qkv(jax.random.key(7), s=256)
+    for mode in ("union", "no_union", "independent"):
+        def loss_pl(q, k, v, mode=mode):
+            return jnp.sum(
+                flash_attention(q, k, v, cond_start=192, mode=mode,
+                                block_q=128, block_k=128) ** 2)
+
+        def loss_ref(q, k, v, mode=mode):
+            return jnp.sum(
+                unified_attention(q, k, v, cond_len=64, mode=mode,
+                                  backend="xla") ** 2)
+
+        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_pl, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3,
+                err_msg=f"mode={mode}")
+
+
+def test_pallas_backward_padded():
+    """Backward with sequence padding (S not a block multiple)."""
+    q, k, v = make_qkv(jax.random.key(8), s=192)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, cond_start=160, mode="no_union",
+                            block_q=256, block_k=256) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            unified_attention(q, k, v, cond_len=32, mode="no_union",
+                              backend="xla") ** 2)
+
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)
