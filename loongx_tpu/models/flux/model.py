@@ -346,6 +346,32 @@ def _mod6(p: Params, temb: jnp.ndarray, use_lora: bool):
     return jnp.split(linear(p["linear"], silu(temb), use_lora=use_lora), 6, -1)
 
 
+def _mod_pair(
+    p: Params,
+    temb: jnp.ndarray,
+    cond_temb: Optional[jnp.ndarray],
+    latent_lora: bool,
+    n_chunks: int,
+):
+    """Both modulation matvecs (img@temb, cond@cond_temb) through the shared
+    adaLN linear in ONE matmul — halves the per-block modulation weight
+    traffic.  Per-row LoRA mask preserves the reference gating (img mod LoRA
+    only under latent_lora; cond mod LoRA always)."""
+    b = temb.shape[0]
+    if cond_temb is None:
+        mi = jnp.split(
+            linear(p["linear"], silu(temb), use_lora=latent_lora), n_chunks, -1
+        )
+        return mi, [None] * n_chunks
+    both = jnp.concatenate([silu(temb), silu(cond_temb)], axis=0)
+    mask = jnp.concatenate(
+        [jnp.full((b, 1), 1.0 if latent_lora else 0.0, both.dtype),
+         jnp.ones((b, 1), both.dtype)]
+    )
+    mod = linear(p["linear"], both, use_lora=True, lora_mask=mask)
+    return jnp.split(mod[:b], n_chunks, -1), jnp.split(mod[b:], n_chunks, -1)
+
+
 def _seg_affine(x_img, x_cond, a_img, b_img, a_cond, b_cond):
     """Per-segment affine y = x * a + b applied to the two segments of a
     fused latent stream; concatenated back (XLA fuses into the consumer)."""
@@ -389,9 +415,10 @@ def double_block_forward(
     # adaLN modulation per segment (shared norm1 weights; cond modulated at
     # the fixed condition timestep — reference transformer.py:108-114; LoRA
     # on the cond modulation path matches block.py:191-207 gating).
-    mi = _mod6(block["norm1"], temb, use_lora=latent_lora)
+    mi, mc = _mod_pair(
+        block["norm1"], temb, cond_temb if use_cond else None, latent_lora, 6
+    )
     mt = _mod6(block["norm1_context"], temb, use_lora=False)
-    mc = _mod6(block["norm1"], cond_temb, use_lora=True) if use_cond else [None] * 6
 
     normed = layer_norm(lat)
     n_lat = _seg_affine(
@@ -482,16 +509,9 @@ def single_block_forward(
     full = jnp.concatenate([x, cond], axis=1) if use_cond else x
     luse, lmask = _seg_lora(s_x, s_cond, latent_lora, full.dtype)
 
-    # adaLN-zero (3 chunks: shift, scale, gate)
-    mx = jnp.split(
-        linear(block["norm"]["linear"], silu(temb), use_lora=latent_lora), 3, -1
-    )
-    mc = (
-        jnp.split(
-            linear(block["norm"]["linear"], silu(cond_temb), use_lora=True), 3, -1
-        )
-        if use_cond
-        else [None] * 3
+    # adaLN-zero (3 chunks: shift, scale, gate) — both streams in one matvec
+    mx, mc = _mod_pair(
+        block["norm"], temb, cond_temb if use_cond else None, latent_lora, 3
     )
     normed = layer_norm(full)
     n_full = _seg_affine(

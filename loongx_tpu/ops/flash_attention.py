@@ -37,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+# v5e has 128 MB VMEM; the compiler's default scoped limit is 16 MB — raise
+# it so the measured-optimal large tiles (and residual outputs) fit.
+VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -47,20 +50,26 @@ def _round_up(x: int, m: int) -> int:
 # the ~16 MB scoped-VMEM budget; measured fastest on v5e (121 TF/s at
 # 1280x1280 for S=2560 vs 76 TF/s at 512x512 — fewer grid programs win).
 MAX_BLOCK = 1280
+# backward tiles hold two [bq, bk] fp32 temporaries (p and dp) -> smaller cap
+MAX_BLOCK_BWD = 896
+
+
+def _auto_blocks(seq_len: int, cap: int) -> Tuple[int, int]:
+    s128 = _round_up(seq_len, LANES)
+    if s128 <= cap:
+        return s128, s128
+    ntiles = 2
+    while True:
+        b = _round_up(-(-s128 // ntiles), LANES)
+        if b <= cap:
+            return b, b
+        ntiles += 1
 
 
 def auto_blocks(seq_len: int) -> Tuple[int, int]:
     """Pick (block_q, block_k) minimising padding waste with the fewest
     grid tiles subject to the VMEM cap."""
-    s128 = _round_up(seq_len, LANES)
-    if s128 <= MAX_BLOCK:
-        return s128, s128
-    ntiles = 2
-    while True:
-        b = _round_up(-(-s128 // ntiles), LANES)
-        if b <= MAX_BLOCK:
-            return b, b
-        ntiles += 1
+    return _auto_blocks(seq_len, MAX_BLOCK)
 
 
 def _pair_swap_matrix(d: int) -> jnp.ndarray:
@@ -278,6 +287,7 @@ def _flash_fwd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s_pad * s_pad * d,
@@ -517,6 +527,7 @@ def _flash_bwd_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
     )(q, k, v, do, *stats, *rope_args)
@@ -548,6 +559,7 @@ def _flash_bwd_pallas(
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
     )(q, k, v, do, *stats, *rope_args)
@@ -624,9 +636,12 @@ def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
     a cbias gradient) falls back to exact XLA recompute."""
     q, k, v, cbias, cos, sin, o, m, l = residuals
     if mode != "cfactor":
+        # backward kernels carry two [bq, bk] fp32 temporaries — use their
+        # own (smaller) block policy regardless of the forward's
+        bq_bwd, bk_bwd = _auto_blocks(q.shape[2], MAX_BLOCK_BWD)
         dq, dk, dv = _flash_bwd_pallas(
-            q, k, v, cos, sin, o, m, l, do, cond_start, mode, block_q,
-            block_k, use_rope, interpret,
+            q, k, v, cos, sin, o, m, l, do, cond_start, mode,
+            min(block_q, bq_bwd), min(block_k, bk_bwd), use_rope, interpret,
         )
         return (
             dq, dk, dv, jnp.zeros((1, 1), jnp.float32),
