@@ -5,11 +5,12 @@ Mirrors the reference's deployed operating point (BASELINE.md: 512x512,
 conditioned FLUX denoise loop + condition tokens + VAE decode, end to end on
 one chip.
 
-The full FLUX.1-dev (12B params, ~24 GB bf16) does not fit one 16 GB v5e, so
-the default benchmarks ``flux-lite``: identical block geometry (3072 hidden,
-24 heads x 128, same token counts — so per-block speed is the real thing)
-at reduced depth (8 double + 16 single blocks, ~5B params).  Set
-BENCH_FULL=1 on a bigger chip to run the full 19+38 stack.  The reference
+The full FLUX.1-dev (12B params, ~24 GB bf16) does not fit one 16 GB v5e in
+bf16, so the default benchmarks ``flux-lite``: identical block geometry
+(3072 hidden, 24 heads x 128, same token counts — so per-block speed is the
+real thing) at reduced depth (8 double + 16 single blocks, ~5B params).
+Set BENCH_FULL=1 to run the full 19+38 stack with int8 weight-only
+quantization (ops/quant.py; ~12.6 GB, fits the chip).  The reference
 publishes no latency numbers (SURVEY §6), so vs_baseline is null.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
@@ -44,7 +45,16 @@ def main():
     vae_cfg = VAEConfig.flux()
     key = jax.random.key(0)
     ks = jax.random.split(key, 8)
-    flux_params = init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
+    if full:
+        # random int8 weights created directly (a bf16 12B init would blow
+        # the 16 GB chip before quantization could run)
+        from loongx_tpu.ops.quant import random_quantized_like
+
+        flux_params = random_quantized_like(
+            ks[0], lambda: init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
+        )
+    else:
+        flux_params = init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
     vae_params = init_vae_params(ks[1], vae_cfg, dtype=jnp.bfloat16)
 
     b, s_txt = 1, 512
@@ -85,7 +95,7 @@ def main():
 
     result = {
         "metric": f"edits/sec/chip ({height}x{width}, {steps}-step, cond-image, "
-        f"{'flux-dev' if full else 'flux-lite 8+16'})",
+        f"{'flux-dev-int8' if full else 'flux-lite 8+16'})",
         "value": round(1.0 / dt, 4),
         "unit": "edits/sec",
         "vs_baseline": None,

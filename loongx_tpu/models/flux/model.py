@@ -215,7 +215,13 @@ def linear(
     where img (LoRA off unless latent_lora) and cond (LoRA on) tokens ride
     one matmul.
     """
-    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    if "kernel_q" in p:  # int8 weight-only quantized (ops/quant.py)
+        w = (
+            p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
+        ).astype(x.dtype)
+    else:
+        w = p["kernel"]
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if use_lora and "lora_a" in p:
         delta = jnp.dot(
             jnp.dot(x, p["lora_a"], preferred_element_type=jnp.float32).astype(

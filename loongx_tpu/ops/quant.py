@@ -1,0 +1,100 @@
+"""Weight-only int8 quantization for linear layers.
+
+Purpose: the full FLUX.1-dev DiT is ~12B params — 24 GB in bf16, over a
+16 GB v5e's HBM.  Per-output-channel symmetric int8 weights (absmax/127
+scales) halve weight memory and HBM traffic; activations stay bf16 and the
+dequant multiply fuses into the matmul's operand load.  Typical weight-only
+int8 error for DiT-scale linears is <0.5% — below bf16 sampling noise.
+
+Quantized linears carry (kernel_q int8 [..., in, out], kernel_scale
+[..., 1, out]) instead of ``kernel``; `models.flux.model.linear` consumes
+either form.  Scan-stacked blocks quantize along the stacked axes naturally.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def quantize_linear(p: Params) -> Params:
+    """One linear dict {kernel, bias?, lora_*...} -> int8-weight form."""
+    kernel = p["kernel"].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(kernel), axis=-2, keepdims=True)  # per out-col
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
+    out = {k: v for k, v in p.items() if k != "kernel"}
+    out["kernel_q"] = q
+    out["kernel_scale"] = scale.astype(jnp.float32)
+    return out
+
+
+def dequant_kernel(p: Params, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (
+        p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
+    ).astype(dtype)
+
+
+def quantize_tree(params: Params, predicate=None) -> Params:
+    """Quantize every linear subtree ({kernel: ...}) in a param tree.
+
+    predicate(path, leaf_dict) -> bool can exclude layers (e.g. embedders).
+    """
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            if "kernel" in tree:
+                if predicate is None or predicate(path, tree):
+                    return quantize_linear(tree)
+                return tree
+            return {k: walk(v, f"{path}/{k}" if path else k)
+                    for k, v in tree.items()}
+        return tree
+
+    return walk(params)
+
+
+def quantized_bytes(params: Params) -> int:
+    return sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
+    )
+
+
+def random_quantized_like(key: jax.Array, init_fn) -> Params:
+    """Build a random int8-quantized param tree WITHOUT materialising the
+    bf16 original (structure via jax.eval_shape) — lets a 12B-param model be
+    instantiated directly inside a 16 GB chip for benchmarking.
+
+    init_fn: () -> params (called only under eval_shape).
+    """
+    shapes = jax.eval_shape(init_fn)
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            if "kernel" in tree and not isinstance(tree["kernel"], dict):
+                sds = tree["kernel"]
+                kk = jax.random.fold_in(key, hash(str(sds.shape)) % (2**31))
+                out = {}
+                out["kernel_q"] = jax.random.randint(
+                    kk, sds.shape, -127, 128, jnp.int8
+                )
+                fan_in = sds.shape[-2]
+                out["kernel_scale"] = jnp.full(
+                    sds.shape[:-2] + (1, sds.shape[-1]),
+                    0.02 / (fan_in ** 0.5) / 127.0,
+                    jnp.float32,
+                )
+                for name, leaf in tree.items():
+                    if name != "kernel":
+                        out[name] = jnp.zeros(leaf.shape, leaf.dtype)
+                return out
+            return {k: walk(v) for k, v in tree.items()}
+        # non-linear leaf (norm weights etc.)
+        if jnp.issubdtype(tree.dtype, jnp.floating):
+            return jnp.ones(tree.shape, tree.dtype)
+        return jnp.zeros(tree.shape, tree.dtype)
+
+    return walk(shapes)

@@ -92,6 +92,27 @@ def denoise_scan(
     return out
 
 
+@partial(jax.jit, static_argnames=("s4_mode",))
+def _brain_encode_jit(enc, dgf, eeg, ppg, fnirs, motion, s4_mode):
+    brain_prompt = None
+    if eeg is not None:
+        eeg_feat = eeg_encode(enc["eeg"], eeg, s4_mode=s4_mode)
+        if ppg is not None:
+            ppg_feat = ppg_encode(enc["ppg"], ppg, s4_mode=s4_mode)
+            brain_prompt = fuse_eeg_ppg(dgf, eeg_feat, ppg_feat)
+        else:
+            brain_prompt = eeg_feat
+    brain_pooled = None
+    if fnirs is not None:
+        fnirs_feat = fnirs_encode(enc["fnirs"], fnirs, s4_mode=s4_mode)
+        if motion is not None:
+            motion_feat = motion_encode(enc["motion"], motion, s4_mode=s4_mode)
+            brain_pooled = fuse_fnirs_motion(dgf, fnirs_feat, motion_feat)
+        else:
+            brain_pooled = fnirs_feat
+    return brain_prompt, brain_pooled
+
+
 def encode_brain_conditions(
     pipeline,
     eeg=None,
@@ -102,7 +123,7 @@ def encode_brain_conditions(
 ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Biosignals -> (brain_prompt [B,512,4096] | None,
     brain_pooled [B,768] | None) via CS3 + pairwise DGF
-    (reference generate.py:167-237)."""
+    (reference generate.py:167-237).  One jit for the whole encode+fuse."""
     enc = pipeline.params.get("encoders")
     dgf = pipeline.params.get("dgf")
     if enc is None:
@@ -110,25 +131,7 @@ def encode_brain_conditions(
 
     to_arr = lambda x: None if x is None else jnp.asarray(x, pipeline.dtype)
     eeg, fnirs, ppg, motion = map(to_arr, (eeg, fnirs, ppg, motion))
-
-    brain_prompt = None
-    if eeg is not None:
-        eeg_feat = eeg_encode(enc["eeg"], eeg, s4_mode=s4_mode)
-        if ppg is not None:
-            ppg_feat = ppg_encode(enc["ppg"], ppg, s4_mode=s4_mode)
-            brain_prompt = fuse_eeg_ppg(dgf, eeg_feat, ppg_feat)
-        else:
-            brain_prompt = eeg_feat
-
-    brain_pooled = None
-    if fnirs is not None:
-        fnirs_feat = fnirs_encode(enc["fnirs"], fnirs, s4_mode=s4_mode)
-        if motion is not None:
-            motion_feat = motion_encode(enc["motion"], motion, s4_mode=s4_mode)
-            brain_pooled = fuse_fnirs_motion(dgf, fnirs_feat, motion_feat)
-        else:
-            brain_pooled = fnirs_feat
-    return brain_prompt, brain_pooled
+    return _brain_encode_jit(enc, dgf, eeg, ppg, fnirs, motion, s4_mode)
 
 
 def generate(
