@@ -78,8 +78,10 @@ def random_quantized_like(key: jax.Array, init_fn) -> Params:
                 sds = tree["kernel"]
                 kk = jax.random.fold_in(key, hash(str(sds.shape)) % (2**31))
                 out = {}
-                out["kernel_q"] = jax.random.randint(
-                    kk, sds.shape, -127, 128, jnp.int8
+                # random.bits(uint8) + bitcast: 1-byte transients, so a 12B
+                # int8 tree can be created inside a 16 GB chip
+                out["kernel_q"] = jax.lax.bitcast_convert_type(
+                    jax.random.bits(kk, sds.shape, jnp.uint8), jnp.int8
                 )
                 fan_in = sds.shape[-2]
                 out["kernel_scale"] = jnp.full(
