@@ -16,8 +16,87 @@ import argparse
 import shutil
 
 
+def convert_eval_clip(hf_dir: str, out_dir: str):
+    """Convert a full HF CLIP checkpoint (text + vision + projections) into
+    the in-framework eval backend bundle (see cli/evaluate --jax_clip_path)."""
+    import dataclasses
+    import os
+    import pickle
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from loongx_tpu.models.text.clip import CLIPTextConfig
+    from loongx_tpu.models.text.clip_vision import CLIPVisionConfig
+    from loongx_tpu.utils.convert import (
+        convert_clip_state, convert_clip_vision_state, load_safetensors_dir,
+        _lin,
+    )
+
+    state = load_safetensors_dir(hf_dir)
+    state = {k.removeprefix("text_model_with_projection."): v
+             for k, v in state.items()}
+    # infer geometry from the weights
+    hidden = state["text_model.embeddings.token_embedding.weight"].shape[1]
+    n_text = len({k.split(".")[3] for k in state
+                  if k.startswith("text_model.encoder.layers.")})
+    text_cfg = CLIPTextConfig(
+        vocab_size=state["text_model.embeddings.token_embedding.weight"].shape[0],
+        hidden=hidden, num_layers=n_text,
+        num_heads=hidden // 64,
+        d_ff=state["text_model.encoder.layers.0.mlp.fc1.weight"].shape[0],
+        max_positions=state["text_model.embeddings.position_embedding.weight"].shape[0],
+    )
+    v_hidden = state["vision_model.embeddings.class_embedding"].size
+    n_vis = len({k.split(".")[3] for k in state
+                 if k.startswith("vision_model.encoder.layers.")})
+    patch = state["vision_model.embeddings.patch_embedding.weight"].shape[-1]
+    n_pos = state["vision_model.embeddings.position_embedding.weight"].shape[0]
+    image_size = int(((n_pos - 1) ** 0.5) * patch)
+    vision_cfg = CLIPVisionConfig(
+        image_size=image_size, patch_size=patch, hidden=v_hidden,
+        num_layers=n_vis, num_heads=v_hidden // 64,
+        d_ff=state["vision_model.encoder.layers.0.mlp.fc1.weight"].shape[0],
+        projection_dim=state["visual_projection.weight"].shape[0],
+    )
+    text_params = convert_clip_state(state, text_cfg, jnp.float32)
+    text_params["text_projection"] = _lin(
+        state, "text_projection", jnp.float32, bias=False
+    )
+    vision_params = convert_clip_vision_state(state, vision_cfg, jnp.float32)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "eval_clip.pkl"), "wb") as f:
+        pickle.dump(
+            {
+                "text_params": jax.tree.map(np.asarray, text_params),
+                "text_cfg": dataclasses.asdict(text_cfg),
+                "vision_params": jax.tree.map(np.asarray, vision_params),
+                "vision_cfg": dataclasses.asdict(vision_cfg),
+            },
+            f,
+        )
+    for name in ("vocab.json", "merges.txt", "tokenizer.json",
+                 "tokenizer_config.json", "special_tokens_map.json"):
+        src = os.path.join(hf_dir, name)
+        if os.path.exists(src):
+            shutil.copy(src, out_dir)
+    print(f"[convert] wrote {out_dir}/eval_clip.pkl")
+
+
 def main(argv=None):
+    import sys
+
     parser = argparse.ArgumentParser(description="Convert HF weights")
+    # standalone eval-CLIP mode: --eval_clip <hf_dir> --out <dir>
+    argv_list = list(argv) if argv is not None else sys.argv[1:]
+    if "--eval_clip" in argv_list:
+        i = argv_list.index("--eval_clip")
+        hf_dir = argv_list[i + 1]
+        out = argv_list[argv_list.index("--out") + 1]
+        convert_eval_clip(hf_dir, out)
+        return
     parser.add_argument("--flux", type=str, required=True)
     parser.add_argument("--t5", type=str, required=True)
     parser.add_argument("--clip", type=str, required=True)

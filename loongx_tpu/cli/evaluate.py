@@ -18,7 +18,10 @@ def main(argv=None):
     parser.add_argument("--gen_dir", type=str, required=True)
     parser.add_argument("--gt_dir", type=str, default=None)
     parser.add_argument("--clip_path", type=str, default=None,
-                        help="local HF CLIP checkpoint (e.g. ViT-B/32)")
+                        help="local HF CLIP checkpoint (torch backend)")
+    parser.add_argument("--jax_clip_path", type=str, default=None,
+                        help="converted JAX CLIP dir (in-framework backend, "
+                             "runs on TPU; see cli/convert --eval_clip)")
     parser.add_argument("--dino_path", type=str, default=None,
                         help="local HF DINO checkpoint")
     parser.add_argument("--caption_path", type=str, default=None,
@@ -42,10 +45,30 @@ def main(argv=None):
 
     from loongx_tpu.evaluation import evaluate_directory
 
+    img_fn = txt_fn = None
+    if args.jax_clip_path:
+        import pickle
+
+        from transformers import CLIPTokenizer
+
+        from loongx_tpu.evaluation.jax_backend import make_jax_clip_backend
+        from loongx_tpu.models.text.clip import CLIPTextConfig
+        from loongx_tpu.models.text.clip_vision import CLIPVisionConfig
+
+        with open(f"{args.jax_clip_path}/eval_clip.pkl", "rb") as f:
+            bundle = pickle.load(f)
+        img_fn, txt_fn = make_jax_clip_backend(
+            bundle["text_params"], CLIPTextConfig(**bundle["text_cfg"]),
+            bundle["vision_params"], CLIPVisionConfig(**bundle["vision_cfg"]),
+            CLIPTokenizer.from_pretrained(args.jax_clip_path),
+        )
+
     results = evaluate_directory(
         args.gen_dir,
         gt_dir=args.gt_dir,
         instructions=instructions,
+        clip_image_embed=img_fn,
+        clip_text_embed=txt_fn,
         clip_path=args.clip_path,
         dino_path=args.dino_path,
         out_dir=args.out_dir,

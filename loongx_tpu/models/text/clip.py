@@ -142,3 +142,18 @@ def clip_encode(
     eos_pos = jnp.where(has_eos, jnp.argmax(is_eos, axis=1), s - 1)
     pooled = x[jnp.arange(b), eos_pos]
     return x, pooled
+
+
+def clip_text_features(
+    params: Params, cfg: CLIPTextConfig, input_ids: jnp.ndarray
+) -> jnp.ndarray:
+    """HF ``get_text_features`` equivalent: pooled output through the text
+    projection head (required for CLIP-T scoring; the FLUX conditioning path
+    uses the raw pooled output instead)."""
+    _, pooled = clip_encode(params, cfg, input_ids)
+    if "text_projection" not in params:
+        raise KeyError("params lack a text_projection head")
+    return jnp.dot(
+        pooled, params["text_projection"]["kernel"],
+        preferred_element_type=jnp.float32,
+    )

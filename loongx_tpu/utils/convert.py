@@ -264,6 +264,44 @@ def convert_t5_state(state: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16):
 # ---------------------------------------------------------------------------
 
 
+def convert_clip_vision_state(
+    state: Dict[str, np.ndarray], cfg, dtype=jnp.float32
+):
+    """HF CLIPVisionModel(+visual_projection) -> clip_vision param tree.
+
+    The patch conv [out, 3, p, p] becomes a flattened-patch linear with
+    (y, x, c)-major input ordering (see models/text/clip_vision._patches)."""
+    def block(i):
+        p = f"vision_model.encoder.layers.{i}"
+        return {
+            "ln1": _gn(state, f"{p}.layer_norm1", dtype),
+            "q": _lin(state, f"{p}.self_attn.q_proj", dtype),
+            "k": _lin(state, f"{p}.self_attn.k_proj", dtype),
+            "v": _lin(state, f"{p}.self_attn.v_proj", dtype),
+            "o": _lin(state, f"{p}.self_attn.out_proj", dtype),
+            "ln2": _gn(state, f"{p}.layer_norm2", dtype),
+            "fc1": _lin(state, f"{p}.mlp.fc1", dtype),
+            "fc2": _lin(state, f"{p}.mlp.fc2", dtype),
+        }
+
+    patch_w = state["vision_model.embeddings.patch_embedding.weight"]
+    hidden = patch_w.shape[0]
+    kernel = np.transpose(patch_w, (2, 3, 1, 0)).reshape(-1, hidden)
+    return {
+        "patch_embed": {"kernel": jnp.asarray(kernel, dtype)},
+        "class_embed": jnp.asarray(
+            state["vision_model.embeddings.class_embedding"].reshape(-1), dtype
+        ),
+        "pos_embed": jnp.asarray(
+            state["vision_model.embeddings.position_embedding.weight"], dtype
+        ),
+        "pre_ln": _gn(state, "vision_model.pre_layrnorm", dtype),
+        "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+        "post_ln": _gn(state, "vision_model.post_layernorm", dtype),
+        "projection": _lin(state, "visual_projection", dtype, bias=False),
+    }
+
+
 def convert_clip_state(state: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16):
     def block(i):
         p = f"text_model.encoder.layers.{i}"
