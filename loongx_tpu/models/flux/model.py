@@ -216,12 +216,22 @@ def linear(
     one matmul.
     """
     if "kernel_q" in p:  # int8 weight-only quantized (ops/quant.py)
-        w = (
-            p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
-        ).astype(x.dtype)
+        if jax.default_backend() == "tpu" and p["kernel_q"].ndim == 2:
+            # tile-dequant Pallas matmul: int8 HBM reads, no bf16 weight copy
+            from loongx_tpu.ops.quant_matmul import quant_matmul
+
+            lead = x.shape[:-1]
+            y = quant_matmul(
+                x.reshape(-1, x.shape[-1]), p["kernel_q"],
+                p["kernel_scale"].reshape(1, -1),
+            ).reshape(*lead, -1).astype(jnp.float32)
+        else:
+            w = (
+                p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
+            ).astype(x.dtype)
+            y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     else:
-        w = p["kernel"]
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
     if use_lora and "lora_a" in p:
         delta = jnp.dot(
             jnp.dot(x, p["lora_a"], preferred_element_type=jnp.float32).astype(

@@ -1,0 +1,112 @@
+"""Pallas TPU kernel: bf16-activation x int8-weight matmul.
+
+y[m, n] = (sum_k x[m, k] * w_q[k, n]) * scale[n] (+ bias)
+
+The int8 weight tile is dequantised to bf16 *inside VMEM* right before the
+MXU — HBM reads stay int8 (half the weight bandwidth of bf16) and no
+full-size bf16 weight copy ever exists, which is what lets the 12B
+FLUX.1-dev run inside a 16 GB v5e (XLA's fused dequant materialises whole
+[K, N] bf16 kernels as transients; see ops/quant.py).
+
+Per-output-channel scales are applied in the fp32 epilogue after the K
+reduction (mathematically identical to pre-scaling the weights).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _qmm_kernel(x_ref, wq_ref, scale_ref, o_ref, acc_ref, *, num_k):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = wq_ref[...].astype(jnp.bfloat16)  # int8 -> bf16 in VMEM
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...], w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == num_k - 1)
+    def _store():
+        o_ref[...] = (acc_ref[...] * scale_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+)
+def quant_matmul(
+    x: jnp.ndarray,          # [M, K] bf16/fp32
+    w_q: jnp.ndarray,        # [K, N] int8
+    scale: jnp.ndarray,      # [1, N] fp32
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2 and scale.shape == (1, n), (x.shape, w_q.shape, scale.shape)
+    x = x.astype(jnp.bfloat16)
+
+    m_pad, k_pad, n_pad = (
+        _round_up(m, block_m), _round_up(k, block_k), _round_up(n, block_n)
+    )
+    if (m_pad, k_pad) != (m, k):
+        x = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))
+    if (k_pad, n_pad) != (k, n):
+        w_q = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))
+    if n_pad != n:
+        scale = jnp.pad(scale, ((0, 0), (0, n_pad - n)))
+
+    num_k = k_pad // block_k
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, num_k=num_k),
+        grid=(m_pad // block_m, n_pad // block_n, num_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, ki: (i, ki)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, ki: (ki, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, ki: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ki: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k_pad * n_pad,
+            bytes_accessed=m_pad * k_pad * 2 + k_pad * n_pad + m_pad * n_pad * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_q, scale.astype(jnp.float32))
+    return out[:m, :n]
+
+
+def quant_linear_apply(p, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply an int8-quantized linear dict to [..., in] activations via the
+    Pallas kernel (TPU) with an XLA dequant fallback elsewhere."""
+    *lead, d_in = x.shape
+    x2 = x.reshape(-1, d_in)
+    w_q, scale = p["kernel_q"], p["kernel_scale"]
+    if w_q.ndim != 2:
+        raise ValueError("quant_linear_apply expects an unstacked [K,N] slice")
+    y = quant_matmul(x2, w_q, scale.reshape(1, -1))
+    if "bias" in p:
+        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(y.dtype)
+    return y.reshape(*lead, -1).astype(x.dtype)
