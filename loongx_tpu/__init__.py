@@ -16,3 +16,20 @@ rather than process-group collectives.
 __version__ = "0.1.0"
 
 from loongx_tpu.config import Config, load_config  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy top-level API (keeps `import loongx_tpu` light).
+    if name == "LoongXPipeline":
+        from loongx_tpu.models.pipeline import LoongXPipeline
+
+        return LoongXPipeline
+    if name == "generate":
+        from loongx_tpu.sampling import generate
+
+        return generate
+    if name == "Condition":
+        from loongx_tpu.sampling import Condition
+
+        return Condition
+    raise AttributeError(f"module 'loongx_tpu' has no attribute {name!r}")

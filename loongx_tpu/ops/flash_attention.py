@@ -46,10 +46,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# Largest square block whose fp32 scores tile (+ q/k/v/m/l/acc) stays inside
-# the ~16 MB scoped-VMEM budget; measured fastest on v5e (121 TF/s at
-# 1280x1280 for S=2560 vs 76 TF/s at 512x512 — fewer grid programs win).
-MAX_BLOCK = 1280
+# Forward block caps (with VMEM_LIMIT raised, big tiles win: measured on
+# v5e at S=2560 — (512,512): 76 TF/s, (1280,1280): 121 TF/s,
+# (1280,2560): 138 TF/s = the chip's matmul roofline).  Full-row kv tiles
+# turn the online softmax into one pass; block_q caps the fp32 scores tile.
+MAX_BLOCK_Q = 1280
+MAX_BLOCK_K = 2560
 # backward tiles hold two [bq, bk] fp32 temporaries (p and dp) -> smaller cap
 MAX_BLOCK_BWD = 896
 
@@ -67,9 +69,16 @@ def _auto_blocks(seq_len: int, cap: int) -> Tuple[int, int]:
 
 
 def auto_blocks(seq_len: int) -> Tuple[int, int]:
-    """Pick (block_q, block_k) minimising padding waste with the fewest
-    grid tiles subject to the VMEM cap."""
-    return _auto_blocks(seq_len, MAX_BLOCK)
+    """(block_q, block_k) policy: prefer a single full-row kv tile (online
+    softmax degenerates to one exact pass), with block_q | block_k so one
+    padded length serves both grid axes."""
+    s128 = _round_up(seq_len, LANES)
+    if s128 <= MAX_BLOCK_Q:
+        return s128, s128
+    if s128 <= MAX_BLOCK_K:
+        bq = _round_up(-(-s128 // 2), LANES)
+        return bq, 2 * bq  # pad(S) == bk == 2*bq
+    return MAX_BLOCK_Q, MAX_BLOCK_K
 
 
 def _pair_swap_matrix(d: int) -> jnp.ndarray:
