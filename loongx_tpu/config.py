@@ -79,6 +79,8 @@ class DatasetConfig:
     jsonl_path: Optional[str] = None  # reference schema alias for seed
     image_dir: str = ""
     pkl_path: Optional[str] = None
+    urls: Optional[List[str]] = None  # webdataset shards (img datasets)
+    cache_name: Optional[str] = None  # HF datasets cache tag (reference)
     condition_size: int = 512
     target_size: int = 512
     image_size: int = 512

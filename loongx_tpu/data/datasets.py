@@ -367,6 +367,15 @@ def build_dataset(train_cfg) -> Any:
 
     if typ == "subject":
         base = load_dataset(ds_cfg.path or "Yuanshi/Subjects200K")["train"]
+        # quality filter (reference train.py:95-110)
+        base = base.filter(
+            lambda item: bool(item.get("quality_assessment"))
+            and all(
+                item["quality_assessment"].get(k, 0) >= 5
+                for k in ("compositeStructure", "objectConsistency",
+                          "imageQuality")
+            )
+        )
         return SubjectPairDataset(
             base,
             condition_size=ds_cfg.condition_size,
@@ -378,7 +387,14 @@ def build_dataset(train_cfg) -> Any:
             drop_image_prob=ds_cfg.drop_image_prob,
         )
     if typ == "img":
-        base = load_dataset(ds_cfg.path or "webdataset", streaming=False)["train"]
+        # text-to-image-2M webdataset shards (reference train.py:121-128)
+        if ds_cfg.urls:
+            base = load_dataset(
+                "webdataset", data_files={"train": ds_cfg.urls},
+                split="train",
+            )
+        else:
+            base = load_dataset(ds_cfg.path)["train"]
         return ImageConditionDataset(
             base,
             condition_size=ds_cfg.condition_size,

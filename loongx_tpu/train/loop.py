@@ -142,6 +142,8 @@ def train(
     )
 
     total = max_steps or tcfg.max_steps
+    if total is None or total < 0:  # reference: max_steps -1 == unlimited
+        total = float("inf")
     key = jax.random.key(tcfg.seed)
     t0 = time.time()
     step = start_step

@@ -323,3 +323,58 @@ class TestCheckpoint:
         b = jax.tree.leaves(pipe2.params)
         assert len(a) == len(b)
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+class TestReferenceConfigParity:
+    def test_reference_yaml_schema_loads(self, tmp_path):
+        """Our config spine must accept the reference's own YAML schema
+        (canny_512-style, incl. webdataset urls + lora target_modules)."""
+        import textwrap
+
+        from loongx_tpu.config import load_config
+
+        yaml_text = textwrap.dedent("""
+            flux_path: "black-forest-labs/FLUX.1-dev"
+            dtype: "bfloat16"
+            model:
+              union_cond_attn: true
+              add_cond_attn: false
+              latent_lora: false
+            train:
+              batch_size: 1
+              accumulate_grad_batches: 1
+              dataloader_workers: 5
+              save_interval: 1000
+              sample_interval: 100
+              max_steps: -1
+              gradient_checkpointing: true
+              save_path: "runs"
+              condition_type: "canny"
+              dataset:
+                type: "img"
+                urls:
+                  - "https://example.com/data_000046.tar"
+                condition_size: 512
+                target_size: 512
+                drop_text_prob: 0.1
+                drop_image_prob: 0.1
+              wandb:
+                project: "OminiControl"
+              lora_config:
+                r: 4
+                lora_alpha: 4
+                init_lora_weights: "gaussian"
+                target_modules: "(.*x_embedder|.*attn.to_k)"
+              optimizer:
+                type: "Prodigy"
+                params:
+                  lr: 1
+                  use_bias_correction: true
+                  safeguard_warmup: true
+                  weight_decay: 0.01
+        """)
+        p = tmp_path / "ref_style.yaml"
+        p.write_text(yaml_text)
+        c = load_config(str(p))
+        assert c.train.dataset.urls[0].endswith(".tar")
+        assert c.train.optimizer.params["lr"] == 1
