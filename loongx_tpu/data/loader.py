@@ -44,15 +44,23 @@ def iterate_batches(
     num_workers: int = 4,
     epochs: Optional[int] = None,
     drop_last: bool = True,
+    host_id: int = 0,
+    num_hosts: int = 1,
 ) -> Iterator[Dict[str, Any]]:
-    """Yield collated host batches; samples are fetched by a thread pool."""
+    """Yield collated host batches; samples are fetched by a thread pool.
+
+    Multi-host: pass (jax.process_index(), jax.process_count()) — every host
+    draws the same shuffled order (same seed) and takes its interleaved
+    slice, so global batches partition the dataset without coordination.
+    """
     n = len(dataset)
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed)  # same stream on every host
     epoch = 0
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         while epochs is None or epoch < epochs:
             order = rng.permutation(n) if shuffle else np.arange(n)
-            for start in range(0, n, batch_size):
+            order = order[host_id::num_hosts]
+            for start in range(0, len(order), batch_size):
                 idx = order[start : start + batch_size]
                 if len(idx) < batch_size and drop_last:
                     continue

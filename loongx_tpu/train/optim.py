@@ -75,7 +75,9 @@ def prodigy(
             )
             dlr = dlr * bc
 
-        # numerator: sum over params of <g, x0 - x>
+        # numerator: sum over params of <g, x0 - x> (always scaled by dlr;
+        # safeguard_warmup only affects the s accumulator below — matches
+        # the official prodigyopt update)
         dot = sum(
             jnp.sum(
                 g.astype(jnp.float32) * (x0.astype(jnp.float32) - x.astype(jnp.float32))
@@ -85,8 +87,7 @@ def prodigy(
                 jax.tree.leaves(params),
             )
         )
-        coef = (d / d0) * (d * learning_rate if safeguard_warmup else dlr)
-        numerator = b3 * state.numerator + coef * dot
+        numerator = b3 * state.numerator + (d / d0) * dlr * dot
 
         mu = jax.tree.map(
             lambda m, g: beta1 * m + (1 - beta1) * (d * g.astype(jnp.float32)),
@@ -97,9 +98,9 @@ def prodigy(
             + (1 - beta2) * (d * g.astype(jnp.float32)) ** 2,
             state.nu, grads,
         )
+        s_coef = (d / d0) * (d * learning_rate if safeguard_warmup else dlr)
         s = jax.tree.map(
-            lambda s_, g: b3 * s_
-            + (d / d0) * dlr * g.astype(jnp.float32),
+            lambda s_, g: b3 * s_ + s_coef * g.astype(jnp.float32),
             state.s, grads,
         )
         denom = sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(s))

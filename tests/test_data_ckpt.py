@@ -378,3 +378,21 @@ class TestReferenceConfigParity:
         c = load_config(str(p))
         assert c.train.dataset.urls[0].endswith(".tar")
         assert c.train.optimizer.params["lr"] == 1
+
+
+class TestMultiHostLoader:
+    def test_hosts_partition_dataset(self, seed_corpus):
+        from loongx_tpu.data import SeedDataset, iterate_batches
+
+        jsonl, root = seed_corpus
+        ds = SeedDataset(jsonl, image_dir=root, image_size=32)
+        seen = []
+        for host in range(2):
+            for b in iterate_batches(
+                ds, batch_size=1, seed=3, epochs=1, host_id=host, num_hosts=2,
+            ):
+                seen.append(b["description"][0])
+        # two hosts together cover all 4 samples exactly once
+        assert sorted(seen) == sorted(
+            ds[i]["description"] for i in range(4)
+        )
