@@ -147,13 +147,28 @@ class LoongXPipeline:
     def encode_text(self, prompts) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """prompts (list[str]) -> (prompt_embeds [B,S,4096], pooled [B,768],
         txt_ids [S,3]) (reference pipeline_tools.prepare_text_input:33-52).
-        Requires tokenizers; tests pass embeddings directly instead."""
-        if self.t5_tokenizer is None or self.clip_tokenizer is None:
-            raise RuntimeError(
-                "pipeline has no tokenizers; pass prompt_embeds directly"
-            )
+
+        Without tokenizers (checkpoint saved without them), falls back to
+        zero embeddings with a warning — usable for the deployed
+        neural-only mode where brain embeddings replace text anyway
+        (reference inference.py:115)."""
         if isinstance(prompts, str):
             prompts = [prompts]
+        if self.t5_tokenizer is None or self.clip_tokenizer is None:
+            print(
+                "[pipeline] warning: no tokenizers in checkpoint — using zero "
+                "text embeddings (fine for neural-only editing; add "
+                "t5_tokenizer/clip_tokenizer dirs for text conditioning)"
+            )
+            b = len(prompts)
+            return (
+                jnp.zeros(
+                    (b, self.max_sequence_length, self.t5_cfg.d_model),
+                    self.dtype,
+                ),
+                jnp.zeros((b, self.clip_cfg.hidden), self.dtype),
+                jnp.zeros((self.max_sequence_length, 3), jnp.float32),
+            )
         t5_ids = self.t5_tokenizer(
             prompts, padding="max_length", max_length=self.max_sequence_length,
             truncation=True, return_tensors="np",

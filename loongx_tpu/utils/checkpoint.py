@@ -151,8 +151,23 @@ def load_pipeline(path: str, dtype=None):
     clip_cfg = build(CLIPTextConfig, cfgs["clip"])
     ckptr = _ckptr()
     params = ckptr.restore(os.path.abspath(os.path.join(path, "params")))
+
+    def _tok(cls_name, sub):
+        tok_dir = os.path.join(path, sub)
+        if not os.path.isdir(tok_dir):
+            return None
+        try:
+            import transformers
+
+            return getattr(transformers, cls_name).from_pretrained(tok_dir)
+        except Exception as exc:
+            print(f"[checkpoint] tokenizer {sub} unavailable: {exc}")
+            return None
+
     return LoongXPipeline(
         flux_cfg=flux_cfg, vae_cfg=vae_cfg, t5_cfg=t5_cfg, clip_cfg=clip_cfg,
         params=params,
         dtype=dtype or jnp.dtype(cfgs.get("dtype", "bfloat16")),
+        t5_tokenizer=_tok("T5TokenizerFast", "t5_tokenizer"),
+        clip_tokenizer=_tok("CLIPTokenizer", "clip_tokenizer"),
     )
