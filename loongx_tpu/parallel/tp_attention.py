@@ -54,5 +54,5 @@ def tp_flash_attention(
         mesh=mesh,
         in_specs=(head_sharding, head_sharding, head_sharding, P(), P(), P()),
         out_specs=head_sharding,
-        check_rep=False,
+        check_vma=False,
     )(q, k, v, cf, cos, sin)
