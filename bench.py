@@ -10,8 +10,11 @@ bf16, so the default benchmarks ``flux-lite``: identical block geometry
 (3072 hidden, 24 heads x 128, same token counts — so per-block speed is the
 real thing) at reduced depth (8 double + 16 single blocks, ~5B params).
 Set BENCH_FULL=1 to run the full 19+38 stack with int8 weight-only
-quantization (ops/quant.py; ~12.6 GB, fits the chip).  The reference
-publishes no latency numbers (SURVEY §6), so vs_baseline is null.
+quantization (ops/quant.py; ~11.9 GB weights).  Note: the tunneled chip in
+this environment exposes less usable HBM than the nominal 16 GB and the
+full-dev program OOMs even at 256 px; run BENCH_FULL on a >=24 GB chip.
+The reference publishes no latency numbers (SURVEY §6), so vs_baseline is
+null.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """

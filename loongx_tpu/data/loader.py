@@ -69,6 +69,32 @@ def iterate_batches(
             epoch += 1
 
 
+def background_iter(gen: Iterator, depth: int = 1) -> Iterator:
+    """Run any iterator in a background thread with a bounded queue —
+    overlaps its work (host decode, device_put, jitted prepare) with the
+    consumer.  Producer exceptions re-raise in the consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _DONE = object()
+
+    def producer():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as exc:
+            q.put(exc)
+        finally:
+            q.put(_DONE)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def prefetch_to_device(
     batches: Iterator[Dict[str, Any]],
     size: int = 2,
@@ -94,6 +120,8 @@ def prefetch_to_device(
         try:
             for b in batches:
                 q.put(put(b))
+        except BaseException as exc:  # surface errors in the consumer
+            q.put(exc)
         finally:
             q.put(_SENTINEL)
 
@@ -103,4 +131,6 @@ def prefetch_to_device(
         item = q.get()
         if item is _SENTINEL:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

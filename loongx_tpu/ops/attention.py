@@ -113,6 +113,20 @@ def unified_attention(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
+        from loongx_tpu.parallel.mesh import current_tp
+
+        tp = current_tp()
+        if tp is not None:
+            # heads are sharded over the tensor axis — run the kernel
+            # per-shard under shard_map (a bare Pallas call would be
+            # replicated/all-gathered by SPMD partitioning)
+            from loongx_tpu.parallel.tp_attention import tp_flash_attention
+
+            mesh, axis = tp
+            return tp_flash_attention(
+                mesh, q, k, v, cond_start=cond_start, mode=mode,
+                c_factor=c_factor, rope=rope, axis=axis,
+            )
         from loongx_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(

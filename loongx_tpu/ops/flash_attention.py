@@ -78,7 +78,10 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
     if s128 <= MAX_BLOCK_K:
         bq = _round_up(-(-s128 // 2), LANES)
         return bq, 2 * bq  # pad(S) == bk == 2*bq
-    return MAX_BLOCK_Q, MAX_BLOCK_K
+    if s128 % MAX_BLOCK_K == 0:
+        return MAX_BLOCK_Q, MAX_BLOCK_K
+    # non-multiple long sequences: square 1280 tiles pad to 1280, not 2560
+    return MAX_BLOCK_Q, MAX_BLOCK_Q
 
 
 def _pair_swap_matrix(d: int) -> jnp.ndarray:
@@ -150,7 +153,7 @@ def _fwd_kernel(
         + kv_idx * block_k
     )
     # Padding mask (keys beyond the real sequence).
-    if seq_len % block_k != 0:
+    if num_kv * block_k != seq_len:
         s = jnp.where(col_ids < seq_len, s, MASK_VALUE)
 
     row_cond = row_ids >= cond_start
@@ -318,14 +321,14 @@ def _flash_fwd(
 
 def _bwd_mask_and_p(
     s, row0, col0, m_tile, l_tile, *, scale, mode, cond_start, seq_len,
-    block_q, block_k,
+    block_q, block_k, padded,
 ):
     """Recompute normalised attention probabilities for one (q, kv) tile pair
     from the saved (m, l) statistics, applying the same masks as forward."""
     s = s * scale
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + row0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + col0
-    if seq_len % block_k != 0:
+    if padded:
         s = jnp.where(col_ids < seq_len, s, MASK_VALUE)
     row_cond = row_ids >= cond_start
     col_cond = col_ids >= cond_start
@@ -336,7 +339,7 @@ def _bwd_mask_and_p(
     l_safe = jnp.where(l_tile == 0.0, 1.0, l_tile)
     m_safe = jnp.where(l_tile == 0.0, 0.0, m_tile)
     p = jnp.exp(s - m_safe) / l_safe
-    if seq_len % block_q != 0:
+    if padded:
         p = jnp.where(row_ids[:, :1] < seq_len, p, 0.0)
     return p
 
@@ -348,6 +351,7 @@ def _bwd_dkv_kernel(
     dk_acc, dv_acc,
     *,
     scale, mode, use_rope, cond_start, seq_len, block_q, block_k, num_q,
+    padded,
 ):
     ki = pl.program_id(2)
     qi = pl.program_id(3)
@@ -369,7 +373,7 @@ def _bwd_dkv_kernel(
     p = _bwd_mask_and_p(
         s, qi * block_q, ki * block_k, m_ref[0, 0][:, :1], l_ref[0, 0][:, :1],
         scale=scale, mode=mode, cond_start=cond_start, seq_len=seq_len,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, padded=padded,
     )
     do = do_ref[0, 0].astype(jnp.float32)
     # dv += p^T do
@@ -406,6 +410,7 @@ def _bwd_dq_kernel(
     dq_acc,
     *,
     scale, mode, use_rope, cond_start, seq_len, block_q, block_k, num_kv,
+    padded,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -426,7 +431,7 @@ def _bwd_dq_kernel(
     p = _bwd_mask_and_p(
         s, qi * block_q, ki * block_k, m_ref[0, 0][:, :1], l_ref[0, 0][:, :1],
         scale=scale, mode=mode, cond_start=cond_start, seq_len=seq_len,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, padded=padded,
     )
     do = do_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
@@ -499,7 +504,7 @@ def _flash_bwd_pallas(
 
     common = dict(
         scale=scale, mode=mode, use_rope=use_rope, cond_start=cond_start,
-        seq_len=s, block_q=block_q, block_k=block_k,
+        seq_len=s, block_q=block_q, block_k=block_k, padded=(s_pad != s),
     )
 
     # ---- dKV pass: grid (b, h, kv, q) — q innermost accumulation ----

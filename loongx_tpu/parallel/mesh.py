@@ -27,6 +27,37 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# ---------------------------------------------------------------------------
+# Tensor-parallel context: lets ops (attention) know a TP mesh is active so
+# Pallas kernels route through shard_map instead of being replicated by SPMD.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+_TP_STATE = {"mesh": None, "axis": "tensor"}
+
+
+@contextlib.contextmanager
+def tp_context(mesh: "Mesh", axis: str = "tensor"):
+    """Activate tensor parallelism for ops that need manual partitioning
+    (the Pallas attention kernel).  Use around jit-traced calls when
+    mesh.shape[axis] > 1."""
+    prev = dict(_TP_STATE)
+    _TP_STATE.update(mesh=mesh, axis=axis)
+    try:
+        yield
+    finally:
+        _TP_STATE.update(prev)
+
+
+def current_tp():
+    """(mesh, axis) if a non-trivial TP context is active, else None."""
+    mesh, axis = _TP_STATE["mesh"], _TP_STATE["axis"]
+    if mesh is not None and mesh.shape.get(axis, 1) > 1:
+        return mesh, axis
+    return None
+
+
 def make_mesh(
     data: int = -1,
     tensor: int = 1,

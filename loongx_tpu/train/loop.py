@@ -119,6 +119,7 @@ def train(
                                ("ppg", "ppg"), ("motion", "motion"))
                 if probe_sample.get(k) is not None
             }
+            latest = {"state": state}  # updated each step below
             sample_fn = SampleProbe(
                 pipeline,
                 condition_type=tcfg.condition_type,
@@ -127,6 +128,8 @@ def train(
                 biosignals=biosig or None,
                 out_dir=os.path.join(tcfg.save_path, run_name, "samples"),
                 size=tcfg.dataset.target_size,
+                # probes render with the CURRENT LoRA weights, not the init
+                trainable_view=lambda: latest["state"].trainable,
             )
         except Exception as exc:
             print(f"[train] sample probe unavailable: {exc}")
@@ -151,17 +154,28 @@ def train(
     batches = iterate_batches(
         dataset, tcfg.batch_size, seed=tcfg.seed,
         num_workers=tcfg.dataloader_workers,
+        host_id=jax.process_index(), num_hosts=jax.process_count(),
     )
-    for host_batch in batches:
+
+    def device_batches():
+        for host_batch in batches:
+            batch = prepare_batch(
+                pipeline, host_batch,
+                position_scale=tcfg.dataset.position_scale,
+            )
+            yield shard_batch(batch, mesh)
+
+    from loongx_tpu.data.loader import background_iter
+
+    # one-deep lookahead: the next batch's decode + frozen-encoder pass
+    # overlaps the current train step
+    for batch in background_iter(device_batches(), depth=1):
         if step >= total:
             break
-        batch = prepare_batch(
-            pipeline, host_batch,
-            position_scale=tcfg.dataset.position_scale,
-        )
-        batch = shard_batch(batch, mesh)
         key, sub = jax.random.split(key)
         state, metrics = step_jit(state, frozen, batch, sub)
+        if sample_fn is not None:
+            latest["state"] = state
         step += 1
         callback.on_step_end(step, metrics, state)
     wall = time.time() - t0

@@ -110,22 +110,29 @@ def flow_match_loss(
             fuse_eeg_ppg(dgf, eeg_feat, ppg_encode(enc["ppg"], batch["ppg"].astype(dtype)))
             if "ppg" in batch else eeg_feat
         )
-        fnirs_feat = fnirs_encode(enc["fnirs"], batch["fnirs"].astype(dtype))
-        brain_pooled = (
-            fuse_fnirs_motion(
-                dgf, fnirs_feat,
-                motion_encode(enc["motion"], batch["motion"].astype(dtype)),
+        # fNIRS may be absent per-sample (the reference guards 'FNIRS' in
+        # bio_data, data.py:81); without it the pooled embeds stay textual
+        brain_pooled = None
+        if "fnirs" in batch:
+            fnirs_feat = fnirs_encode(enc["fnirs"], batch["fnirs"].astype(dtype))
+            brain_pooled = (
+                fuse_fnirs_motion(
+                    dgf, fnirs_feat,
+                    motion_encode(enc["motion"], batch["motion"].astype(dtype)),
+                )
+                if "motion" in batch else fnirs_feat
             )
-            if "motion" in batch else fnirs_feat
-        )
         if fuse_flag:
-            prompt_embeds, pooled = fuse_text_train(
-                dgf, prompt_embeds, pooled, brain_prompt, brain_pooled
+            fused_prompt, fused_pooled = fuse_text_train(
+                dgf, prompt_embeds, pooled, brain_prompt,
+                brain_pooled if brain_pooled is not None else pooled,
             )
+            prompt_embeds = fused_prompt
+            pooled = fused_pooled if brain_pooled is not None else pooled
         else:
-            prompt_embeds, pooled = (
-                brain_prompt.astype(dtype), brain_pooled.astype(dtype),
-            )
+            prompt_embeds = brain_prompt.astype(dtype)
+            if brain_pooled is not None:
+                pooled = brain_pooled.astype(dtype)
 
     guidance = jnp.ones((b,), jnp.float32) if flux_cfg.guidance_embeds else None
     cond = batch.get("cond_tokens")

@@ -55,3 +55,24 @@ def test_tp_with_rope_and_cfactor():
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
                                rtol=3e-5)
+
+
+def test_tp_context_routes_unified_attention():
+    """Under tp_context, unified_attention(backend='pallas') must run the
+    shard_map path with head-sharded inputs and matching numerics."""
+    from loongx_tpu.parallel.mesh import tp_context
+
+    mesh = make_mesh(data=1, tensor=8)
+    b, h, s, d = 1, 8, 128, 64
+    ks = jax.random.split(jax.random.key(2), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d), jnp.float32) for kk in ks)
+    ref = unified_attention(q, k, v, cond_len=32, mode="independent",
+                            backend="xla")
+    shard = NamedSharding(mesh, P(None, "tensor", None, None))
+    q_s, k_s, v_s = (jax.device_put(x, shard) for x in (q, k, v))
+    with tp_context(mesh):
+        out = unified_attention(q_s, k_s, v_s, cond_len=32,
+                                mode="independent", backend="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+    assert out.sharding.spec == P(None, "tensor", None, None)
