@@ -60,7 +60,7 @@ def main():
         flux_params = init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
     vae_params = init_vae_params(ks[1], vae_cfg, dtype=jnp.bfloat16)
 
-    b, s_txt = 1, 512
+    b, s_txt = int(os.environ.get("BENCH_BATCH", "1")), 512
     lat_h, lat_w = height // 8, width // 8
     s_img = (lat_h // 2) * (lat_w // 2)
     latents = jax.random.normal(ks[2], (b, s_img, cfg.in_channels), jnp.bfloat16)
@@ -98,8 +98,9 @@ def main():
 
     result = {
         "metric": f"edits/sec/chip ({height}x{width}, {steps}-step, cond-image, "
-        f"{'flux-dev-int8' if full else 'flux-lite 8+16'})",
-        "value": round(1.0 / dt, 4),
+        f"{'flux-dev-int8' if full else 'flux-lite 8+16'}"
+        f"{', batch ' + str(b) if b > 1 else ''})",
+        "value": round(b / dt, 4),
         "unit": "edits/sec",
         "vs_baseline": None,
         "p50_latency_s": round(dt, 3),

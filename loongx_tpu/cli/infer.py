@@ -203,12 +203,31 @@ def main(argv=None):
 
     pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
     if args.lora:
+        from safetensors import safe_open
+
         from loongx_tpu.train.lora import merge_lora
         from loongx_tpu.utils.checkpoint import load_lora_safetensors
 
-        pipeline.params["flux"] = merge_lora(
-            load_lora_safetensors(pipeline.params["flux"], args.lora)
+        fname = args.lora if args.lora.endswith(".safetensors") else (
+            os.path.join(args.lora, "lora.safetensors")
         )
+        with safe_open(fname, framework="np") as f:
+            keys = list(f.keys())
+        if any(".lora_A." in k or ".lora_B." in k for k in keys):
+            # reference-trained (peft / FluxPipeline.save_lora_weights) LoRA
+            from loongx_tpu.utils.convert import convert_reference_lora
+
+            with safe_open(fname, framework="np") as f:
+                state = {k: f.get_tensor(k) for k in keys}
+            pipeline.params["flux"] = merge_lora(
+                convert_reference_lora(
+                    state, pipeline.params["flux"], pipeline.flux_cfg
+                )
+            )
+        else:
+            pipeline.params["flux"] = merge_lora(
+                load_lora_safetensors(pipeline.params["flux"], args.lora)
+            )
     brain_data = load_brain_data(args.brain_data_path)
     captions = load_captions(args.caption_path)
 

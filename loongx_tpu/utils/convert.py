@@ -134,6 +134,100 @@ def convert_flux_state(state: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16):
 
 
 # ---------------------------------------------------------------------------
+# Reference LoRA checkpoints (peft / FluxPipeline.save_lora_weights layout)
+# ---------------------------------------------------------------------------
+
+def _our_lora_path(module: str):
+    """'transformer_blocks.3.attn.to_q' -> ('double_blocks/attn/to_q', 3)."""
+    module = module.removeprefix("transformer.")
+    if module == "x_embedder":
+        return "x_embedder", None
+    for hf_prefix, ours in (
+        ("single_transformer_blocks", "single_blocks"),
+        ("transformer_blocks", "double_blocks"),
+    ):
+        if module.startswith(hf_prefix + "."):
+            rest = module[len(hf_prefix) + 1 :]
+            idx_str, sub = rest.split(".", 1)
+            sub = {
+                "attn.to_q": "attn/to_q",
+                "attn.to_k": "attn/to_k",
+                "attn.to_v": "attn/to_v",
+                "attn.to_out.0": "attn/to_out",
+                "norm1.linear": "norm1/linear",
+                "norm.linear": "norm/linear",
+                "ff.net.2": "ff/out",
+                "proj_mlp": "proj_mlp",
+                "proj_out": "proj_out",
+            }.get(sub)
+            if sub is None:
+                return None, None
+            return f"{ours}/{sub}", int(idx_str)
+    return None, None
+
+
+def convert_reference_lora(
+    state: Dict[str, np.ndarray],
+    flux_params,
+    cfg,
+    scale: float = 1.0,
+    dtype=jnp.bfloat16,
+):
+    """Load a reference-trained LoRA (peft safetensors via
+    FluxPipeline.save_lora_weights, reference model.py:526-531) into our flux
+    param tree: per-block lora_A [r, in] / lora_B [out, r] tensors are
+    transposed and stacked onto the scan axis.  Missing blocks get zero
+    factors (delta 0).  Returns a new tree with lora leaves set."""
+    import re as _re
+
+    # collect (tree_path, idx) -> (a, b)
+    grouped: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
+    for key, val in state.items():
+        m = _re.match(r"(.*)\.lora_([AB])\.weight$", key)
+        if not m:
+            continue
+        path, idx = _our_lora_path(m.group(1))
+        if path is None:
+            continue
+        grouped.setdefault(path, {}).setdefault(
+            -1 if idx is None else idx, {}
+        )[m.group(2)] = val
+
+    import jax as _jax
+
+    params = _jax.tree.map(lambda x: x, flux_params)  # rebuild containers
+
+    def find(tree, path):
+        node = tree
+        for part in path.split("/"):
+            node = node[part]
+        return node
+
+    for path, by_idx in grouped.items():
+        sample = next(iter(by_idx.values()))
+        r = sample["A"].shape[0]
+        target = find(params, path)
+        kernel = target.get("kernel", target.get("kernel_q"))
+        *stack, d_in, d_out = kernel.shape
+        if stack:  # scan-stacked block family
+            n_blocks = stack[0]
+            a = np.zeros((n_blocks, d_in, r), np.float32)
+            b = np.zeros((n_blocks, r, d_out), np.float32)
+            for idx, ab in by_idx.items():
+                a[idx] = ab["A"].T
+                b[idx] = ab["B"].T
+            target["lora_scale"] = jnp.full((n_blocks,), scale, jnp.float32)
+        else:
+            ab = by_idx.get(-1) or next(iter(by_idx.values()))
+            a = ab["A"].T
+            b = ab["B"].T
+            target["lora_scale"] = jnp.asarray(scale, jnp.float32)
+        target["lora_a"] = jnp.asarray(a, dtype)
+        target["lora_b"] = jnp.asarray(b, dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
 # VAE (AutoencoderKL)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,71 @@
+"""Reference (peft-layout) LoRA checkpoint conversion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from loongx_tpu.models.flux import FluxConfig, init_flux_params, flux_forward
+from loongx_tpu.ops.latents import latent_image_ids
+from loongx_tpu.utils.convert import convert_reference_lora, _our_lora_path
+
+
+def test_path_mapping():
+    assert _our_lora_path("transformer.x_embedder") == ("x_embedder", None)
+    assert _our_lora_path("transformer_blocks.3.attn.to_q") == (
+        "double_blocks/attn/to_q", 3)
+    assert _our_lora_path("single_transformer_blocks.12.proj_out") == (
+        "single_blocks/proj_out", 12)
+    assert _our_lora_path("transformer_blocks.0.attn.to_out.0") == (
+        "double_blocks/attn/to_out", 0)
+    assert _our_lora_path("transformer_blocks.0.ff.net.2") == (
+        "double_blocks/ff/out", 0)
+    assert _our_lora_path("unknown.module") == (None, None)
+
+
+def test_convert_and_forward_effect():
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    h = cfg.hidden
+    r = 2
+    state = {}
+    for i in range(cfg.num_double_blocks):
+        for name, (din, dout) in {
+            "attn.to_q": (h, h), "attn.to_k": (h, h), "attn.to_v": (h, h),
+            "attn.to_out.0": (h, h), "norm1.linear": (h, 6 * h),
+            "ff.net.2": (cfg.mlp_ratio * h, h),
+        }.items():
+            state[f"transformer.transformer_blocks.{i}.{name}.lora_A.weight"] = (
+                rng.randn(r, din).astype(np.float32) * 0.1)
+            state[f"transformer.transformer_blocks.{i}.{name}.lora_B.weight"] = (
+                rng.randn(dout, r).astype(np.float32) * 0.1)
+    state["transformer.x_embedder.lora_A.weight"] = (
+        rng.randn(r, cfg.in_channels).astype(np.float32) * 0.1)
+    state["transformer.x_embedder.lora_B.weight"] = (
+        rng.randn(h, r).astype(np.float32) * 0.1)
+
+    lp = convert_reference_lora(state, params, cfg, scale=1.0,
+                                dtype=jnp.float32)
+    blk = lp["double_blocks"]["attn"]["to_q"]
+    assert blk["lora_a"].shape == (cfg.num_double_blocks, h, r)
+    assert blk["lora_b"].shape == (cfg.num_double_blocks, r, h)
+    # A/B transposed correctly
+    np.testing.assert_allclose(
+        np.asarray(blk["lora_a"][1]),
+        state["transformer.transformer_blocks.1.attn.to_q.lora_A.weight"].T,
+        atol=1e-6,
+    )
+
+    batch = dict(
+        img=jnp.ones((1, 4, cfg.in_channels)),
+        txt=jnp.ones((1, 2, cfg.joint_dim)),
+        pooled=jnp.ones((1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]), guidance=jnp.array([3.5]),
+        img_ids=latent_image_ids(4, 4), txt_ids=jnp.zeros((2, 3)),
+        cond=jnp.ones((1, 4, cfg.in_channels)),
+        cond_ids=latent_image_ids(4, 4),
+    )
+    out0 = flux_forward(params, cfg, **batch, attn_backend="xla")
+    out1 = flux_forward(lp, cfg, **batch, attn_backend="xla")
+    # nonzero B -> LoRA active on the condition stream -> output changes
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
