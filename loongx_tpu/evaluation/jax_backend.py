@@ -70,3 +70,34 @@ def make_jax_clip_backend(
         return np.asarray(_txt_fn(jnp.asarray(ids)))
 
     return image_embed, text_embed
+
+
+def make_jax_dino_backend(vit_params, vit_cfg, batch_size: int = 16):
+    """DINO CLS-feature image embedder (torch-free DINO-I) from a converted
+    HF ViT checkpoint (utils/convert.convert_vit_state)."""
+    from loongx_tpu.models.vision import vit_encode, vit_preprocess
+
+    @jax.jit
+    def _fn(images):
+        return vit_encode(
+            vit_params, vit_cfg, vit_preprocess(images, vit_cfg.image_size)
+        )
+
+    def image_embed(paths: Sequence[str]) -> np.ndarray:
+        from PIL import Image
+
+        out = []
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start : start + batch_size]
+            imgs = np.stack([
+                np.asarray(
+                    Image.open(p).convert("RGB").resize(
+                        (vit_cfg.image_size, vit_cfg.image_size)
+                    ), np.float32,
+                ) / 255.0
+                for p in chunk
+            ])
+            out.append(np.asarray(_fn(jnp.asarray(imgs))))
+        return np.concatenate(out)
+
+    return image_embed

@@ -317,6 +317,51 @@ def convert_vae_state(state: Dict[str, np.ndarray], cfg, dtype=jnp.float32):
 
 
 # ---------------------------------------------------------------------------
+# DINO / generic ViT (HF ViTModel layout, e.g. facebook/dino-vits16)
+# ---------------------------------------------------------------------------
+
+
+def convert_vit_state(state: Dict[str, np.ndarray], cfg, dtype=jnp.float32):
+    """HF ViTModel state dict -> models/vision param tree (the DINO-I
+    feature extractor the reference pulls from torch.hub, test.py:46-82)."""
+    def block(i):
+        p = f"encoder.layer.{i}"
+        return {
+            "ln1": _gn(state, f"{p}.layernorm_before", dtype),
+            "q": _lin(state, f"{p}.attention.attention.query", dtype),
+            "k": _lin(state, f"{p}.attention.attention.key", dtype),
+            "v": _lin(state, f"{p}.attention.attention.value", dtype),
+            "o": _lin(state, f"{p}.attention.output.dense", dtype),
+            "ln2": _gn(state, f"{p}.layernorm_after", dtype),
+            "fc1": _lin(state, f"{p}.intermediate.dense", dtype),
+            "fc2": _lin(state, f"{p}.output.dense", dtype),
+        }
+
+    state = {k.removeprefix("vit."): v for k, v in state.items()}
+    patch_w = state["embeddings.patch_embeddings.projection.weight"]
+    hidden = patch_w.shape[0]
+    kernel = np.transpose(patch_w, (2, 3, 1, 0)).reshape(-1, hidden)
+    return {
+        "patch_embed": {
+            "kernel": jnp.asarray(kernel, dtype),
+            "bias": jnp.asarray(
+                state["embeddings.patch_embeddings.projection.bias"], dtype
+            ),
+        },
+        "cls_token": jnp.asarray(
+            state["embeddings.cls_token"].reshape(-1), dtype
+        ),
+        "pos_embed": jnp.asarray(
+            state["embeddings.position_embeddings"].reshape(
+                -1, hidden
+            ), dtype
+        ),
+        "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+        "final_ln": _gn(state, "layernorm", dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
 # T5 encoder
 # ---------------------------------------------------------------------------
 
