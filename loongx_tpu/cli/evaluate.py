@@ -23,7 +23,10 @@ def main(argv=None):
                         help="converted JAX CLIP dir (in-framework backend, "
                              "runs on TPU; see cli/convert --eval_clip)")
     parser.add_argument("--dino_path", type=str, default=None,
-                        help="local HF DINO checkpoint")
+                        help="local HF DINO checkpoint (torch backend)")
+    parser.add_argument("--jax_dino_path", type=str, default=None,
+                        help="local HF DINO ViT dir converted on the fly "
+                             "(in-framework backend, runs on TPU)")
     parser.add_argument("--caption_path", type=str, default=None,
                         help="jsonl with instructions for CLIP-T")
     parser.add_argument("--out_dir", type=str, default=None)
@@ -63,12 +66,38 @@ def main(argv=None):
             CLIPTokenizer.from_pretrained(args.jax_clip_path),
         )
 
+    dino_fn = None
+    if args.jax_dino_path:
+        from loongx_tpu.evaluation.jax_backend import make_jax_dino_backend
+        from loongx_tpu.models.vision import ViTConfig
+        from loongx_tpu.utils.convert import (
+            convert_vit_state, load_safetensors_dir,
+        )
+
+        state = {
+            k.removeprefix("vit."): v
+            for k, v in load_safetensors_dir(args.jax_dino_path).items()
+        }
+        n_layers = 1 + max(
+            int(k.split(".")[2]) for k in state if k.startswith("encoder.layer.")
+        )
+        hidden = state["embeddings.cls_token"].size
+        patch = state[
+            "embeddings.patch_embeddings.projection.weight"
+        ].shape[-1]
+        ff = state["encoder.layer.0.intermediate.dense.weight"].shape[0]
+        vcfg = ViTConfig(hidden=hidden, num_layers=n_layers,
+                         num_heads=max(1, hidden // 64), patch_size=patch,
+                         d_ff=ff)
+        dino_fn = make_jax_dino_backend(convert_vit_state(state, vcfg), vcfg)
+
     results = evaluate_directory(
         args.gen_dir,
         gt_dir=args.gt_dir,
         instructions=instructions,
         clip_image_embed=img_fn,
         clip_text_embed=txt_fn,
+        dino_image_embed=dino_fn,
         clip_path=args.clip_path,
         dino_path=args.dino_path,
         out_dir=args.out_dir,
