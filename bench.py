@@ -1,30 +1,38 @@
 """Headline benchmark: neural-conditioned 512x512 28-step edit, edits/sec/chip.
 
 Mirrors the reference's deployed operating point (BASELINE.md: 512x512,
-28 steps, guidance 3.5, 512 text tokens, one condition image): text-embed
-conditioned FLUX denoise loop + condition tokens + VAE decode, end to end on
-one chip.
+28 steps, guidance 3.5, 512 text tokens, one condition image — reference
+/root/reference/src/flux/generate.py:30,32,43): text-embed conditioned FLUX
+denoise loop + condition tokens + VAE decode, end to end on one chip.
 
-The full FLUX.1-dev (12B params, ~24 GB bf16) does not fit one 16 GB v5e in
-bf16, so the default benchmarks ``flux-lite``: identical block geometry
-(3072 hidden, 24 heads x 128, same token counts — so per-block speed is the
-real thing) at reduced depth (8 double + 16 single blocks, ~5B params).
-Set BENCH_FULL=1 to run the full 19+38 stack with int8 weight-only
-quantization (ops/quant.py; ~11.9 GB weights).  Note: the tunneled chip in
-this environment exposes less usable HBM than the nominal 16 GB and the
-full-dev program OOMs even at 256 px; run BENCH_FULL on a >=24 GB chip.
-The reference publishes no latency numbers (SURVEY §6), so vs_baseline is
-null.
+By default benchmarks the FULL FLUX.1-dev geometry (19 double + 38 single
+blocks, 3072 hidden, 24 heads x 128, ~12B params) with int8 weight-only
+quantized matmuls and per-superblock weight streaming so the working set fits
+a 16 GB v5e.  Set BENCH_LITE=1 to run the bf16 8+16 "flux-lite" proxy
+instead.  The reference publishes no latency numbers (SURVEY §6), so
+vs_baseline is null.
+
+Failure containment: every stage is wrapped; if a later stage fails the
+benchmark still emits ONE JSON line with whatever numbers were measured plus
+an "errors" field, and exits 0 as long as at least one timing exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
 import os
+import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
+
+
+def _force(x):
+    """Force real device execution (block_until_ready is dispatch-only on
+    remote-compile platforms; a scalar pull is the reliable barrier)."""
+    return float(jnp.asarray(x).mean())
 
 
 def main():
@@ -36,7 +44,11 @@ def main():
     from loongx_tpu.ops.schedule import flux_sigmas
     from loongx_tpu.sampling.generate import denoise_scan
 
-    full = os.environ.get("BENCH_FULL") == "1"
+    errors = []
+    extras = {}
+
+    lite = os.environ.get("BENCH_LITE") == "1"
+    full = not lite
     steps = int(os.environ.get("BENCH_STEPS", "28"))
     height = width = int(os.environ.get("BENCH_SIZE", "512"))
 
@@ -58,7 +70,6 @@ def main():
         )
     else:
         flux_params = init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
-    vae_params = init_vae_params(ks[1], vae_cfg, dtype=jnp.bfloat16)
 
     b, s_txt = int(os.environ.get("BENCH_BATCH", "1")), 512
     lat_h, lat_w = height // 8, width // 8
@@ -73,45 +84,97 @@ def main():
     sigmas = jnp.asarray(flux_sigmas(steps, s_img))
     guidance = jnp.full((b,), 3.5)
 
-    @jax.jit
-    def decode(vae_params, out):
-        lat = unpack_latents(out, lat_h, lat_w)
-        lat = unscale_latents(vae_cfg, lat).astype(jnp.bfloat16)
-        return vae_decode(vae_params, vae_cfg, lat)
+    # --- stage: VAE decode (separable; contained so a VAE failure cannot
+    # zero out the denoise measurement) -----------------------------------
+    decode = None
+    vae_params = None
+    try:
+        vae_params = init_vae_params(ks[1], vae_cfg, dtype=jnp.bfloat16)
+
+        @jax.jit
+        def decode(vae_params, out):
+            lat = unpack_latents(out, lat_h, lat_w)
+            lat = unscale_latents(vae_cfg, lat).astype(jnp.bfloat16)
+            return vae_decode(vae_params, vae_cfg, lat)
+
+        _force(decode(vae_params, latents))
+    except Exception:  # noqa: BLE001 - containment by design
+        errors.append("vae: " + traceback.format_exc(limit=3).strip().splitlines()[-1])
+        decode = None
 
     def edit(latents):
         out = denoise_scan(
             flux_params, cfg, (), latents, txt, pooled, img_ids, txt_ids,
             cond, cond_ids, sigmas, guidance, None,
         )
-        return decode(vae_params, out)
+        return decode(vae_params, out) if decode is not None else out
 
-    # warmup / compile — force real execution (block_until_ready is async
-    # under remote-compile platforms; a scalar pull is the reliable barrier)
-    float(edit(latents).mean())
-    n = int(os.environ.get("BENCH_ITERS", "3"))
-    t0 = time.perf_counter()
-    outs = [edit(latents) for _ in range(n)]
-    for o in outs:
-        float(o.mean())
-    dt = (time.perf_counter() - t0) / n
+    # --- stage: compile + measure the edit loop ---------------------------
+    dt = None
+    try:
+        _force(edit(latents))  # warmup / compile
+        n = int(os.environ.get("BENCH_ITERS", "3"))
+        t0 = time.perf_counter()
+        outs = [edit(latents) for _ in range(n)]
+        for o in outs:
+            _force(o)
+        dt = (time.perf_counter() - t0) / n
+    except Exception:  # noqa: BLE001
+        errors.append(
+            "edit: " + traceback.format_exc(limit=3).strip().splitlines()[-1]
+        )
+
+    if dt is None and full:
+        # last-resort fallback: the lite proxy, so the run still produces a
+        # measured number rather than nothing
+        try:
+            lcfg = FluxConfig(num_double_blocks=8, num_single_blocks=16)
+            lparams = init_flux_params(ks[0], lcfg, dtype=jnp.bfloat16)
+
+            def lite_edit(latents):
+                out = denoise_scan(
+                    lparams, lcfg, (), latents, txt, pooled, img_ids, txt_ids,
+                    cond, cond_ids, sigmas, guidance, None,
+                )
+                return decode(vae_params, out) if decode is not None else out
+
+            _force(lite_edit(latents))
+            t0 = time.perf_counter()
+            outs = [lite_edit(latents) for _ in range(3)]
+            for o in outs:
+                _force(o)
+            dt = (time.perf_counter() - t0) / 3
+            full = False
+            flux_params = lparams
+            extras["fallback"] = "flux-lite (full-dev stage failed)"
+        except Exception:  # noqa: BLE001
+            errors.append(
+                "lite-fallback: "
+                + traceback.format_exc(limit=3).strip().splitlines()[-1]
+            )
+
+    def _params_b(p):
+        return round(sum(x.size for x in jax.tree.leaves(p)) / 1e9, 2)
 
     result = {
         "metric": f"edits/sec/chip ({height}x{width}, {steps}-step, cond-image, "
-        f"{'flux-dev-int8' if full else 'flux-lite 8+16'}"
-        f"{', batch ' + str(b) if b > 1 else ''})",
-        "value": round(b / dt, 4),
+        f"{'flux-dev-int8 19+38' if full else 'flux-lite 8+16'}"
+        f"{', batch ' + str(b) if b > 1 else ''}"
+        f"{'' if decode is not None else ', no-vae'})",
+        "value": round(b / dt, 4) if dt else 0.0,
         "unit": "edits/sec",
         "vs_baseline": None,
-        "p50_latency_s": round(dt, 3),
-        "ms_per_step": round(dt / steps * 1e3, 2),
+        "p50_latency_s": round(dt, 3) if dt else None,
+        "ms_per_step": round(dt / steps * 1e3, 2) if dt else None,
         "device": str(jax.devices()[0]),
-        "params_b": round(
-            sum(x.size for x in jax.tree.leaves(flux_params)) / 1e9, 2
-        ),
+        "params_b": _params_b(flux_params),
+        **extras,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
+    return 0 if dt else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

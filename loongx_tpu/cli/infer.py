@@ -58,6 +58,7 @@ def edit_one(
     fuse_flag: bool = False,
     num_steps: int = 28,
     guidance: float = 3.5,
+    neural_only: bool = False,
 ):
     """Edit a single image (reference inference_single_image,
     inference.py:77-117)."""
@@ -91,6 +92,7 @@ def edit_one(
         motion=brain.get("Motion"),
         use_brain_condition=use_brain,
         fuse_flag=fuse_flag,
+        neural_only=neural_only,
         output_type="uint8",
     )
     return Image.fromarray(out[0])
@@ -162,6 +164,7 @@ def batch_edit(pipeline, args, brain_data, captions):
             seed=args.seed,
             use_brain_condition=bool(kw),
             fuse_flag=args.fuse,
+            neural_only=args.neural_only,
             output_type="uint8",
             **kw,
         )
@@ -195,6 +198,9 @@ def main(argv=None):
                         help="images per sharded batch (default: #devices)")
     parser.add_argument("--fuse", action="store_true",
                         help="DUAN-fuse brain+text instead of replacing")
+    parser.add_argument("--neural_only", action="store_true",
+                        help="allow running without text tokenizers (zero "
+                        "text embeds; brain embeds replace them)")
     parser.add_argument("--lora", type=str, default=None,
                         help="LoRA safetensors to load+merge")
     args = parser.parse_args(argv)
@@ -240,6 +246,7 @@ def main(argv=None):
             position_delta=(args.position_delta_x, args.position_delta_y),
             brain=brain, seed=args.seed, fuse_flag=args.fuse,
             num_steps=args.steps, guidance=args.guidance,
+            neural_only=args.neural_only,
         )
         os.makedirs(args.output_dir, exist_ok=True)
         out = os.path.join(

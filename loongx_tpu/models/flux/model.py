@@ -586,6 +586,8 @@ def flux_forward(
     c_factor: Optional[jnp.ndarray] = None,
     attn_backend: str = "auto",
     remat: bool = False,
+    controlnet_block_samples: Optional[jnp.ndarray] = None,
+    controlnet_single_block_samples: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full conditioned FLUX forward (reference: transformer.py:47-252).
 
@@ -602,6 +604,13 @@ def flux_forward(
       c_t: fixed condition timestep (0 in reference).
       c_factor: optional traced condition-strength scalar.
       remat: rematerialise each block (gradient checkpointing).
+      controlnet_block_samples: optional [N, B, S_img, hidden] residuals added
+        to the img stream after each double block (reference
+        transformer.py:172-181: block i receives sample
+        i // ceil(n_blocks / N)); the scan body dynamic-indexes the stack.
+      controlnet_single_block_samples: likewise [N, B, S_img, hidden] after
+        each single block, added to the img segment only
+        (reference transformer.py:230-239).
 
     Returns: [B, S_img, in_channels] velocity prediction.
     """
@@ -636,13 +645,31 @@ def flux_forward(
     )
     rope_full = rope_ops.rope_embed(ids_full, cfg.axes_dims, cfg.theta)
 
+    # ControlNet residual index maps (reference transformer.py:172-181,
+    # 230-239: block i receives sample i // ceil(n_blocks / n_samples)).
+    def _cn_idx(n_blocks: int, samples) -> Optional[jnp.ndarray]:
+        if samples is None:
+            return None
+        interval = -(-n_blocks // samples.shape[0])  # ceil
+        return jnp.arange(n_blocks) // interval
+
+    cn_dbl_idx = _cn_idx(cfg.num_double_blocks, controlnet_block_samples)
+    cn_sgl_idx = _cn_idx(cfg.num_single_blocks, controlnet_single_block_samples)
+
+    def _cn_residual(samples, idx):
+        # dynamic-index the [N, B, S, H] residual stack inside the scan body
+        return jax.lax.dynamic_index_in_dim(samples, idx, 0, keepdims=False)
+
     # --- double blocks (scan over stacked params) ---
-    def double_body(carry, block):
+    def double_body(carry, xs):
+        block, cn_i = xs
         txt_c, img_c, cond_c = carry
         txt_c, img_c, cond_c = double_block_forward(
             block, cfg, img_c, txt_c, cond_c, temb, cond_temb, rope_full,
             flags, c_factor, attn_backend,
         )
+        if cn_i is not None:
+            img_c = img_c + _cn_residual(controlnet_block_samples, cn_i)
         return (txt_c, img_c, cond_c), None
 
     body = double_body
@@ -650,47 +677,65 @@ def flux_forward(
         body = jax.checkpoint(double_body, prevent_cse=False)
     if use_cond:
         (txt_h, img_h, cond_h), _ = jax.lax.scan(
-            body, (txt_h, img_h, cond_h), params["double_blocks"]
+            body, (txt_h, img_h, cond_h), (params["double_blocks"], cn_dbl_idx)
         )
     else:
         # Keep the carry structure static (no None in scan carries).
-        def body2(carry, block):
+        def body2(carry, xs):
+            block, cn_i = xs
             (t, i), _ = carry, None
             t, i, _c = double_block_forward(
                 block, cfg, i, t, None, temb, None, rope_full, flags,
                 c_factor, attn_backend,
             )
+            if cn_i is not None:
+                i = i + _cn_residual(controlnet_block_samples, cn_i)
             return (t, i), None
 
         b2 = jax.checkpoint(body2, prevent_cse=False) if remat else body2
-        (txt_h, img_h), _ = jax.lax.scan(b2, (txt_h, img_h), params["double_blocks"])
+        (txt_h, img_h), _ = jax.lax.scan(
+            b2, (txt_h, img_h), (params["double_blocks"], cn_dbl_idx)
+        )
 
     # --- single blocks over [txt | img] ---
+    s_txt = txt_h.shape[1]
     x = jnp.concatenate([txt_h, img_h], axis=1)
 
-    def single_body(carry, block):
+    def single_body(carry, xs):
+        block, cn_i = xs
         x_c, cond_c = carry
         x_c, cond_c = single_block_forward(
             block, cfg, x_c, cond_c, temb, cond_temb, rope_full, flags,
             c_factor, attn_backend,
         )
+        if cn_i is not None:
+            x_c = x_c.at[:, s_txt:].add(
+                _cn_residual(controlnet_single_block_samples, cn_i)
+            )
         return (x_c, cond_c), None
 
     if use_cond:
         sb = jax.checkpoint(single_body, prevent_cse=False) if remat else single_body
-        (x, cond_h), _ = jax.lax.scan(sb, (x, cond_h), params["single_blocks"])
+        (x, cond_h), _ = jax.lax.scan(
+            sb, (x, cond_h), (params["single_blocks"], cn_sgl_idx)
+        )
     else:
-        def single_body2(x_c, block):
+        def single_body2(x_c, xs):
+            block, cn_i = xs
             x_c, _ = single_block_forward(
                 block, cfg, x_c, None, temb, None, rope_full, flags,
                 c_factor, attn_backend,
             )
+            if cn_i is not None:
+                x_c = x_c.at[:, s_txt:].add(
+                    _cn_residual(controlnet_single_block_samples, cn_i)
+                )
             return x_c, None
 
         sb2 = (
             jax.checkpoint(single_body2, prevent_cse=False) if remat else single_body2
         )
-        x, _ = jax.lax.scan(sb2, x, params["single_blocks"])
+        x, _ = jax.lax.scan(sb2, x, (params["single_blocks"], cn_sgl_idx))
 
     x = x[:, txt_h.shape[1] :]
 

@@ -97,8 +97,25 @@ def _init_attn(key, c, dtype) -> Params:
     }
 
 
+class _KeyGen:
+    """Counter-based key stream via ``fold_in``.
+
+    Iterating ``jax.random.split(key, n)`` pulls each key to the host one by
+    one (one device RPC per key) — slow everywhere and a hard failure on
+    remote-PJRT platforms.  ``fold_in`` stays a traced device op.
+    """
+
+    def __init__(self, key):
+        self._key = key
+        self._i = 0
+
+    def __next__(self):
+        self._i += 1
+        return jax.random.fold_in(self._key, self._i)
+
+
 def init_vae_params(key, cfg: VAEConfig, dtype=jnp.float32) -> Params:
-    keys = iter(jax.random.split(key, 256))
+    keys = _KeyGen(key)
     ch = cfg.block_channels
 
     # --- encoder ---

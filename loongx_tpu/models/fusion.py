@@ -150,15 +150,21 @@ def fuse_text_train(
     prompt_embeds: jnp.ndarray,
     pooled_embeds: jnp.ndarray,
     brain_prompt: jnp.ndarray,
-    brain_pooled: jnp.ndarray,
+    brain_pooled: Optional[jnp.ndarray],
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Training-path fusion (reference model.py:680-698): DUAN(brain, text)
-    -> concat -> fusion linear -> residual add onto the text embeds."""
+    -> concat -> fusion linear -> residual add onto the text embeds.
+
+    ``brain_pooled=None`` (fNIRS absent in the sample — reference guards
+    'FNIRS' in bio_data, data.py:81) skips the pooled-fusion branch entirely
+    and returns ``pooled_embeds`` unchanged — no placeholder DUAN compute."""
     fused_p = duan_apply(params["duan_prompt"], brain_prompt, prompt_embeds)
     cat = jnp.concatenate([prompt_embeds, fused_p], axis=1)  # [B,1024,4096]
     delta = linear(params["fusion_prompt"], cat.transpose(0, 2, 1)).transpose(0, 2, 1)
     prompt_out = prompt_embeds + delta
 
+    if brain_pooled is None:
+        return prompt_out, pooled_embeds
     p = pooled_embeds[:, None, :]
     bp = brain_pooled[:, None, :]
     fused_pool = duan_apply(params["duan_pooled"], bp, p)[:, 0]  # [B,768]

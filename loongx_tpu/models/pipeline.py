@@ -144,22 +144,28 @@ class LoongXPipeline:
         tokens = pack_latents(lat)
         return tokens, lat.shape[1], lat.shape[2]
 
-    def encode_text(self, prompts) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def encode_text(
+        self, prompts, neural_only: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """prompts (list[str]) -> (prompt_embeds [B,S,4096], pooled [B,768],
         txt_ids [S,3]) (reference pipeline_tools.prepare_text_input:33-52).
 
-        Without tokenizers (checkpoint saved without them), falls back to
-        zero embeddings with a warning — usable for the deployed
-        neural-only mode where brain embeddings replace text anyway
-        (reference inference.py:115)."""
+        Missing tokenizers are a hard error unless ``neural_only=True`` is
+        passed explicitly: in the deployed neural-only mode brain embeddings
+        replace the text embeddings anyway (reference inference.py:115), so
+        zero text embeds are safe there — but silently zeroing them in
+        fuse mode would destroy text conditioning."""
         if isinstance(prompts, str):
             prompts = [prompts]
         if self.t5_tokenizer is None or self.clip_tokenizer is None:
-            print(
-                "[pipeline] warning: no tokenizers in checkpoint — using zero "
-                "text embeddings (fine for neural-only editing; add "
-                "t5_tokenizer/clip_tokenizer dirs for text conditioning)"
-            )
+            if not neural_only:
+                raise RuntimeError(
+                    "encode_text: no tokenizers loaded in this pipeline. "
+                    "Add t5_tokenizer/clip_tokenizer directories to the "
+                    "checkpoint for text conditioning, or pass "
+                    "neural_only=True (CLI: --neural_only) if brain "
+                    "embeddings replace text embeddings (fuse_flag=False)."
+                )
             b = len(prompts)
             return (
                 jnp.zeros(

@@ -13,6 +13,7 @@ either form.  Scan-stacked blocks quantize along the stacked axes naturally.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -63,14 +64,41 @@ def quantized_bytes(params: Params) -> int:
     )
 
 
-def random_quantized_like(key: jax.Array, init_fn) -> Params:
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _random_int8(kk: jax.Array, shape) -> jnp.ndarray:
+    """One fused program: random bits -> int8 reinterpret.  Jitted so XLA
+    aliases the bitcast (zero-copy); eager per-op dispatch would hold a uint8
+    source AND an int8 copy — a 2x transient that blows the margin when the
+    final tree is ~12 GiB on a ~14 GiB-usable chip."""
+    return jax.lax.bitcast_convert_type(
+        jax.random.bits(kk, shape, jnp.uint8), jnp.int8
+    )
+
+
+def random_quantized_like(
+    key: jax.Array, init_fn, sync_bytes: int = 2**30
+) -> Params:
     """Build a random int8-quantized param tree WITHOUT materialising the
     bf16 original (structure via jax.eval_shape) — lets a 12B-param model be
-    instantiated directly inside a 16 GB chip for benchmarking.
+    instantiated directly inside a ~14 GB-usable chip for benchmarking.
 
     init_fn: () -> params (called only under eval_shape).
+
+    sync_bytes: force device execution every time this many bytes of new
+    leaves have been enqueued.  Remote-compile platforms (axon) defer every
+    dispatch until a value is pulled, so without periodic sync the whole
+    12 GB tree build executes as one burst whose per-leaf transients
+    (random bits + bitcast) overlap and exhaust HBM.
     """
     shapes = jax.eval_shape(init_fn)
+    pending = [0]
+
+    def _sync(x):
+        pending[0] += x.size * x.dtype.itemsize
+        if pending[0] >= sync_bytes:
+            jax.device_get(jnp.ravel(x)[0])  # real barrier (see utils/device_bench)
+            pending[0] = 0
+        return x
 
     def walk(tree):
         if isinstance(tree, dict):
@@ -78,11 +106,7 @@ def random_quantized_like(key: jax.Array, init_fn) -> Params:
                 sds = tree["kernel"]
                 kk = jax.random.fold_in(key, hash(str(sds.shape)) % (2**31))
                 out = {}
-                # random.bits(uint8) + bitcast: 1-byte transients, so a 12B
-                # int8 tree can be created inside a 16 GB chip
-                out["kernel_q"] = jax.lax.bitcast_convert_type(
-                    jax.random.bits(kk, sds.shape, jnp.uint8), jnp.int8
-                )
+                out["kernel_q"] = _sync(_random_int8(kk, tuple(sds.shape)))
                 fan_in = sds.shape[-2]
                 out["kernel_scale"] = jnp.full(
                     sds.shape[:-2] + (1, sds.shape[-1]),

@@ -157,6 +157,7 @@ def generate(
     motion=None,
     use_brain_condition: bool = False,
     fuse_flag: bool = False,
+    neural_only: bool = False,
     fuse_mode: str = "infer",
     model_config: Optional[Dict[str, Any]] = None,
     attn_backend: str = "auto",
@@ -179,7 +180,12 @@ def generate(
 
     # ---- text embeddings ----
     if prompt_embeds is None:
-        prompt_embeds, pooled_prompt_embeds, txt_ids = pipeline.encode_text(prompt)
+        # neural_only must be an explicit opt-in (it zeroes missing-tokenizer
+        # text embeds) and is only coherent when brain embeds replace them
+        neural_only = neural_only and use_brain_condition and not fuse_flag
+        prompt_embeds, pooled_prompt_embeds, txt_ids = pipeline.encode_text(
+            prompt, neural_only=neural_only
+        )
     else:
         txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
     batch = prompt_embeds.shape[0]

@@ -123,12 +123,11 @@ def flow_match_loss(
                 if "motion" in batch else fnirs_feat
             )
         if fuse_flag:
-            fused_prompt, fused_pooled = fuse_text_train(
-                dgf, prompt_embeds, pooled, brain_prompt,
-                brain_pooled if brain_pooled is not None else pooled,
+            # brain_pooled=None skips the pooled-fusion branch inside
+            # fuse_text_train (no placeholder DUAN compute)
+            prompt_embeds, pooled = fuse_text_train(
+                dgf, prompt_embeds, pooled, brain_prompt, brain_pooled
             )
-            prompt_embeds = fused_prompt
-            pooled = fused_pooled if brain_pooled is not None else pooled
         else:
             prompt_embeds = brain_prompt.astype(dtype)
             if brain_pooled is not None:
