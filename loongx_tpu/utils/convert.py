@@ -49,6 +49,8 @@ def _lin(state, prefix, dtype, bias=True):
 def _stack(trees):
     import jax
 
+    if not trees:  # zero-depth family (e.g. a single-block test model)
+        return {}
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 

@@ -131,3 +131,24 @@ class TestDGF:
         assert pi.shape == prompt.shape and pli.shape == pooled.shape
         # the two documented paths are genuinely different transforms
         assert not np.allclose(np.asarray(pt), np.asarray(pi))
+
+    def test_fuse_text_train_none_pooled_skips_branch(self, dgf):
+        """brain_pooled=None (missing fNIRS) must return pooled unchanged and
+        skip the pooled-DUAN compute entirely (VERDICT r1 Weak #5)."""
+        prompt = jax.random.normal(jax.random.key(1), (1, 512, 4096))
+        pooled = jax.random.normal(jax.random.key(2), (1, 768))
+        bp = jax.random.normal(jax.random.key(3), (1, 512, 4096))
+        pt, pooled_out = fuse_text_train(dgf, prompt, pooled, bp, None)
+        assert pt.shape == prompt.shape
+        np.testing.assert_array_equal(np.asarray(pooled_out), np.asarray(pooled))
+        # jaxpr must not touch the pooled-fusion weights when brain_pooled=None
+        jaxpr_eqns = jax.make_jaxpr(
+            lambda d, a, b, c: fuse_text_train(d, a, b, c, None)
+        )(dgf, prompt, pooled, bp).jaxpr.eqns
+        n_none = len(jaxpr_eqns)
+        n_full = len(
+            jax.make_jaxpr(fuse_text_train)(
+                dgf, prompt, pooled, bp, jax.random.normal(jax.random.key(4), (1, 768))
+            ).jaxpr.eqns
+        )
+        assert n_none < n_full

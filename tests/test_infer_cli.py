@@ -82,6 +82,7 @@ def test_batch_edit_groups(tiny_pipe, tmp_path):
         seed = 0
         prompt = "edit"
         fuse = False
+        neural_only = False
         steps = 1
         guidance = 3.5
         batch_size = 2

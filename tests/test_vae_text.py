@@ -120,3 +120,18 @@ class TestCLIP:
         np.testing.assert_allclose(
             np.asarray(pooled[0]), np.asarray(hidden[0, -1]), atol=1e-6
         )
+
+
+def test_encode_text_missing_tokenizers_hard_fails():
+    """No-tokenizer pipelines must raise unless neural_only=True is an
+    explicit opt-in (VERDICT r1 Weak #6)."""
+    import pytest as _pytest
+
+    from loongx_tpu.models.pipeline import LoongXPipeline
+
+    pipe = LoongXPipeline.tiny(jax.random.key(0))
+    assert pipe.t5_tokenizer is None
+    with _pytest.raises(RuntimeError, match="neural_only"):
+        pipe.encode_text(["hello"])
+    emb, pooled, ids = pipe.encode_text(["hello"], neural_only=True)
+    assert emb.shape[0] == 1 and float(jnp.abs(emb).max()) == 0.0
