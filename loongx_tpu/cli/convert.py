@@ -38,16 +38,30 @@ def convert_eval_clip(hf_dir: str, out_dir: str):
     state = load_safetensors_dir(hf_dir)
     state = {k.removeprefix("text_model_with_projection."): v
              for k, v in state.items()}
-    # infer geometry from the weights
+    # head counts are not derivable from the weights — read config.json when
+    # present (head_dim 64 is only a CLIP-L/B convention)
+    heads = {}
+    eos_id = None
+    cfg_json = os.path.join(hf_dir, "config.json")
+    if os.path.exists(cfg_json):
+        import json
+
+        with open(cfg_json) as f:
+            hf_cfg = json.load(f)
+        for part in ("text_config", "vision_config"):
+            heads[part] = hf_cfg.get(part, {}).get("num_attention_heads")
+        eos_id = hf_cfg.get("text_config", {}).get("eos_token_id")
+    # infer the rest of the geometry from the weights
     hidden = state["text_model.embeddings.token_embedding.weight"].shape[1]
     n_text = len({k.split(".")[3] for k in state
                   if k.startswith("text_model.encoder.layers.")})
     text_cfg = CLIPTextConfig(
         vocab_size=state["text_model.embeddings.token_embedding.weight"].shape[0],
         hidden=hidden, num_layers=n_text,
-        num_heads=hidden // 64,
+        num_heads=heads.get("text_config") or max(1, hidden // 64),
         d_ff=state["text_model.encoder.layers.0.mlp.fc1.weight"].shape[0],
         max_positions=state["text_model.embeddings.position_embedding.weight"].shape[0],
+        **({"eos_token_id": eos_id} if eos_id is not None else {}),
     )
     v_hidden = state["vision_model.embeddings.class_embedding"].size
     n_vis = len({k.split(".")[3] for k in state
@@ -57,7 +71,8 @@ def convert_eval_clip(hf_dir: str, out_dir: str):
     image_size = int(((n_pos - 1) ** 0.5) * patch)
     vision_cfg = CLIPVisionConfig(
         image_size=image_size, patch_size=patch, hidden=v_hidden,
-        num_layers=n_vis, num_heads=v_hidden // 64,
+        num_layers=n_vis,
+        num_heads=heads.get("vision_config") or max(1, v_hidden // 64),
         d_ff=state["vision_model.encoder.layers.0.mlp.fc1.weight"].shape[0],
         projection_dim=state["visual_projection.weight"].shape[0],
     )

@@ -105,6 +105,7 @@ def main(argv=None):
     )
     for k, v in results.items():
         print(f"{k}: {v:.6f}")
+    return results
 
 
 if __name__ == "__main__":

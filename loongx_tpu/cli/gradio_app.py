@@ -12,34 +12,43 @@ from __future__ import annotations
 import argparse
 
 
-def build_app(pipeline, num_steps: int = 8):
-    import gradio as gr
-    import numpy as np
+def process_image_and_text(
+    pipeline, image, text: str, num_steps: int = 8, size: int = 512,
+    **generate_kwargs,
+):
+    """The demo's whole editing path, UI-free (testable headlessly): center
+    crop to square, resize, subject condition, few-step generate
+    (reference gradio_app.py:44-71)."""
     from PIL import Image
 
     from loongx_tpu.sampling import Condition, generate
 
-    def process(image, text):
-        # center crop to square then 512 (reference gradio_app.py:44-56)
-        w, h = image.size
-        s = min(w, h)
-        image = image.crop(
-            ((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2)
-        ).resize((512, 512))
-        cond = Condition("subject", raw_img=image)
-        out = generate(
-            pipeline,
-            prompt=text.strip(),
-            conditions=[cond],
-            height=512,
-            width=512,
-            num_inference_steps=num_steps,
-            output_type="uint8",
-        )
-        return Image.fromarray(out[0])
+    w, h = image.size
+    s = min(w, h)
+    image = image.crop(
+        ((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2)
+    ).resize((size, size))
+    cond = Condition("subject", raw_img=image)
+    out = generate(
+        pipeline,
+        prompt=text.strip(),
+        conditions=[cond],
+        height=size,
+        width=size,
+        num_inference_steps=num_steps,
+        output_type="uint8",
+        **generate_kwargs,
+    )
+    return Image.fromarray(out[0])
+
+
+def build_app(pipeline, num_steps: int = 8):
+    import gradio as gr
 
     return gr.Interface(
-        fn=process,
+        fn=lambda image, text: process_image_and_text(
+            pipeline, image, text, num_steps
+        ),
         inputs=[gr.Image(type="pil"), gr.Textbox(lines=2)],
         outputs=gr.Image(type="pil"),
         title="LoongX-TPU subject-driven generation",

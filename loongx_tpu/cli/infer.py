@@ -175,6 +175,49 @@ def batch_edit(pipeline, args, brain_data, captions):
             print(f"[infer] [{done}/{len(files)}] {out_path}")
 
 
+def _load_lora_tree(pipeline, path: str):
+    """Load a LoRA safetensors file (ours or reference-trained peft layout)
+    into a copy of the flux param tree with lora leaves set."""
+    from safetensors import safe_open
+
+    from loongx_tpu.utils.checkpoint import load_lora_safetensors
+
+    fname = path if path.endswith(".safetensors") else (
+        os.path.join(path, "lora.safetensors")
+    )
+    with safe_open(fname, framework="np") as f:
+        keys = list(f.keys())
+    if any(".lora_A." in k or ".lora_B." in k for k in keys):
+        # reference-trained (peft / FluxPipeline.save_lora_weights) LoRA
+        from loongx_tpu.utils.convert import convert_reference_lora
+
+        with safe_open(fname, framework="np") as f:
+            state = {k: f.get_tensor(k) for k in keys}
+        return convert_reference_lora(
+            state, pipeline.params["flux"], pipeline.flux_cfg
+        )
+    return load_lora_safetensors(pipeline.params["flux"], path)
+
+
+def _attach_lora(pipeline, path: str, name=None):
+    """Bare path: merge into base weights.  name=path: register as a named
+    adapter selected per condition type (reference set_adapters model)."""
+    from loongx_tpu.train.lora import lora_state_dict, merge_lora
+
+    tree = _load_lora_tree(pipeline, path)
+    if name is None:
+        pipeline.params["flux"] = merge_lora(tree)
+        return
+    from loongx_tpu.train.adapters import AdapterRegistry
+
+    if pipeline.adapters is None:
+        pipeline.adapters = AdapterRegistry()
+        # keep un-adapted leaves around so switching is pure value-swap
+        pipeline.params["flux"] = tree
+    pipeline.adapters.add(name, lora_state_dict(tree))
+    print(f"[infer] registered adapter {name!r} from {path}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="LoongX-TPU inference (neural-driven image editing)"
@@ -201,39 +244,23 @@ def main(argv=None):
     parser.add_argument("--neural_only", action="store_true",
                         help="allow running without text tokenizers (zero "
                         "text embeds; brain embeds replace them)")
-    parser.add_argument("--lora", type=str, default=None,
-                        help="LoRA safetensors to load+merge")
+    parser.add_argument(
+        "--lora", action="append", default=None,
+        help="LoRA safetensors to load.  A bare path merges the adapter into "
+        "the base weights (single-adapter fast path).  Repeatable "
+        "'name=path' entries register named adapters selected per "
+        "condition type at generate time (reference generate.py:279 "
+        "set_adapters; name them after condition types, e.g. "
+        "--lora canny=./canny_lora --lora depth=./depth_lora)",
+    )
     args = parser.parse_args(argv)
 
     from loongx_tpu.models.pipeline import LoongXPipeline
 
     pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
-    if args.lora:
-        from safetensors import safe_open
-
-        from loongx_tpu.train.lora import merge_lora
-        from loongx_tpu.utils.checkpoint import load_lora_safetensors
-
-        fname = args.lora if args.lora.endswith(".safetensors") else (
-            os.path.join(args.lora, "lora.safetensors")
-        )
-        with safe_open(fname, framework="np") as f:
-            keys = list(f.keys())
-        if any(".lora_A." in k or ".lora_B." in k for k in keys):
-            # reference-trained (peft / FluxPipeline.save_lora_weights) LoRA
-            from loongx_tpu.utils.convert import convert_reference_lora
-
-            with safe_open(fname, framework="np") as f:
-                state = {k: f.get_tensor(k) for k in keys}
-            pipeline.params["flux"] = merge_lora(
-                convert_reference_lora(
-                    state, pipeline.params["flux"], pipeline.flux_cfg
-                )
-            )
-        else:
-            pipeline.params["flux"] = merge_lora(
-                load_lora_safetensors(pipeline.params["flux"], args.lora)
-            )
+    for spec in args.lora or []:
+        name, path = spec.split("=", 1) if "=" in spec else (None, spec)
+        _attach_lora(pipeline, path, name)
     brain_data = load_brain_data(args.brain_data_path)
     captions = load_captions(args.caption_path)
 

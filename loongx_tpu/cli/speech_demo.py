@@ -59,9 +59,48 @@ def record_audio(seconds: float = 5.0, sample_rate: int = 16000) -> str:
     return path
 
 
-def main(argv=None):
+def speech_edit(
+    pipeline,
+    image_path: str,
+    audio_path: Optional[str],
+    output_path: str,
+    *,
+    transcriber=None,
+    fallback_prompt: Optional[str] = None,
+    brain: Optional[dict] = None,
+    record_seconds: float = 5.0,
+    target_size: int = 512,
+    num_steps: int = 28,
+):
+    """The full ASR -> instruction -> edit pipeline with an injectable
+    transcriber (audio_path -> text), so the demo logic is testable without
+    Whisper/MarianMT weights or a microphone."""
+    from loongx_tpu.cli.infer import edit_one
+
+    transcriber = transcriber or transcribe
+    audio = audio_path or record_audio(record_seconds)
+    try:
+        prompt = transcriber(audio)
+        print(f"[speech] instruction: {prompt!r}")
+    except Exception as exc:
+        if not fallback_prompt:
+            raise
+        print(f"[speech] transcription unavailable ({exc}); using --prompt")
+        prompt = fallback_prompt
+
+    img = edit_one(
+        pipeline, image_path, prompt, brain=brain or {},
+        target_size=target_size, num_steps=num_steps,
+    )
+    img.save(output_path)
+    print(f"[speech] saved {output_path}")
+    return prompt
+
+
+def main(argv=None, *, pipeline=None, transcriber=None):
     parser = argparse.ArgumentParser(description="Speech-driven editing demo")
-    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str,
+                        required=pipeline is None)
     parser.add_argument("--image", type=str, required=True)
     parser.add_argument("--audio", type=str, default=None,
                         help="audio file; records from mic if omitted")
@@ -74,29 +113,28 @@ def main(argv=None):
     parser.add_argument("--output", type=str, default="edited.png")
     parser.add_argument("--prompt", type=str, default=None,
                         help="fallback when no audio available")
+    parser.add_argument("--target_size", type=int, default=512)
+    parser.add_argument("--steps", type=int, default=28)
     args = parser.parse_args(argv)
 
-    audio = args.audio or record_audio(args.record_seconds)
-    try:
-        prompt = transcribe(
+    from loongx_tpu.cli.infer import load_brain_data
+
+    if pipeline is None:
+        from loongx_tpu.models.pipeline import LoongXPipeline
+
+        pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
+    if transcriber is None:
+        transcriber = lambda audio: transcribe(  # noqa: E731
             audio, args.whisper_path, args.translate_path, args.language
         )
-        print(f"[speech] instruction: {prompt!r}")
-    except Exception as exc:
-        if not args.prompt:
-            raise
-        print(f"[speech] transcription unavailable ({exc}); using --prompt")
-        prompt = args.prompt
-
-    from loongx_tpu.cli.infer import edit_one, load_brain_data
-    from loongx_tpu.models.pipeline import LoongXPipeline
-
-    pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
     brain_data = load_brain_data(args.brain_data_path)
-    brain = brain_data.get(os.path.basename(args.image), {})
-    img = edit_one(pipeline, args.image, prompt, brain=brain)
-    img.save(args.output)
-    print(f"[speech] saved {args.output}")
+    speech_edit(
+        pipeline, args.image, args.audio, args.output,
+        transcriber=transcriber, fallback_prompt=args.prompt,
+        brain=brain_data.get(os.path.basename(args.image), {}),
+        record_seconds=args.record_seconds,
+        target_size=args.target_size, num_steps=args.steps,
+    )
 
 
 if __name__ == "__main__":

@@ -31,6 +31,10 @@ def make_jax_clip_backend(
     batch_size: int = 16,
 ) -> Tuple[Callable, Callable]:
     """Returns (image_embed(paths) -> [N, D], text_embed(texts) -> [N, D])."""
+    # bundles store numpy leaves (pickle-portable); the towers index the
+    # embedding tables with traced ids, which requires jnp arrays
+    text_params = jax.tree.map(jnp.asarray, text_params)
+    vision_params = jax.tree.map(jnp.asarray, vision_params)
 
     @jax.jit
     def _img_fn(images):

@@ -50,6 +50,22 @@ class LoongXPipeline:
     t5_tokenizer: Any = None
     clip_tokenizer: Any = None
     max_sequence_length: int = 512
+    # named LoRA adapters (train.adapters.AdapterRegistry) — the peft
+    # multi-adapter model (reference generate.py:279 set_adapters)
+    adapters: Any = None
+    active_adapter: Optional[str] = None
+
+    def set_adapters(self, name: str) -> bool:
+        """Activate the named LoRA adapter on the DiT (reference
+        pipeline.set_adapters, generate.py:279).  No-op (returns False) when
+        no registry is attached; KeyError on an unknown name."""
+        if self.adapters is None:
+            return False
+        if name == self.active_adapter:
+            return True
+        self.params["flux"] = self.adapters.activate(self.params["flux"], name)
+        self.active_adapter = name
+        return True
 
     # ------------------------------------------------------------------
     # Constructors

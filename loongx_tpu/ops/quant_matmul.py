@@ -51,17 +51,28 @@ def quant_matmul(
     x: jnp.ndarray,          # [M, K] bf16/fp32
     w_q: jnp.ndarray,        # [K, N] int8
     scale: jnp.ndarray,      # [1, N] fp32
-    block_m: int = 256,
-    block_n: int = 512,
-    block_k: int = 512,
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1536,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
+    # Default tiles from a v5e sweep at FLUX shapes (M=2560, K/N in
+    # {3072, 12288, 15360}): (512, 1024, 1536) reaches 144-180 TF/s —
+    # above the XLA bf16 dot on the same shapes (138-166 TF/s) because the
+    # int8 weight tiles halve HBM traffic.  The old (256, 512, 512) default
+    # measured 102-122 TF/s.
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m, k = x.shape
     k2, n = w_q.shape
     assert k == k2 and scale.shape == (1, n), (x.shape, w_q.shape, scale.shape)
     x = x.astype(jnp.bfloat16)
+
+    # clamp tiles for small operands (embedders: K=64/256) so padding stays
+    # bounded; lane/sublane minimums 128 keep the MXU fed
+    block_m = min(block_m, _round_up(m, 128))
+    block_n = min(block_n, _round_up(n, 128))
+    block_k = min(block_k, _round_up(k, 128))
 
     m_pad, k_pad, n_pad = (
         _round_up(m, block_m), _round_up(k, block_k), _round_up(n, block_n)

