@@ -216,12 +216,25 @@ def linear(
     one matmul.
     """
     if "kernel_q" in p:  # int8 weight-only quantized (ops/quant.py)
-        if jax.default_backend() == "tpu" and p["kernel_q"].ndim == 2:
-            # tile-dequant Pallas matmul: int8 HBM reads, no bf16 weight copy
-            from loongx_tpu.ops.quant_matmul import quant_matmul
+        from loongx_tpu.parallel.mesh import current_tp
 
+        if (
+            jax.default_backend() == "tpu"
+            and p["kernel_q"].ndim == 2
+            # under tensor parallelism, SPMD cannot partition a pallas_call
+            # over the sharded N axis — the XLA dequant path below shards
+            # cleanly (per-shard bf16 transients are N/tp-sized)
+            and current_tp() is None
+        ):
+            # tile-dequant Pallas matmul: int8 HBM reads, no bf16 weight
+            # copy; LOONGX_W8A8=1 upgrades to the native int8-MXU kernel
+            from loongx_tpu.ops.quant_matmul import (
+                quant_matmul, quant_matmul_w8a8, use_w8a8,
+            )
+
+            qmm = quant_matmul_w8a8 if use_w8a8() else quant_matmul
             lead = x.shape[:-1]
-            y = quant_matmul(
+            y = qmm(
                 x.reshape(-1, x.shape[-1]), p["kernel_q"],
                 p["kernel_scale"].reshape(1, -1),
             ).reshape(*lead, -1).astype(jnp.float32)

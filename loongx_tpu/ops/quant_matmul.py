@@ -27,6 +27,15 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def use_w8a8() -> bool:
+    """Serving knob: LOONGX_W8A8=1 routes int8-weight linears through the
+    native int8-MXU W8A8 kernel (2x the bf16 MXU rate on v5e) with dynamic
+    per-row-per-k-tile activation scales.  Read at trace time."""
+    import os
+
+    return os.environ.get("LOONGX_W8A8", "0") == "1"
+
+
 def _qmm_kernel(x_ref, wq_ref, scale_ref, o_ref, acc_ref, *, num_k):
     ki = pl.program_id(2)
 
@@ -87,6 +96,97 @@ def quant_matmul(
     num_k = k_pad // block_k
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, num_k=num_k),
+        grid=(m_pad // block_m, n_pad // block_n, num_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, ki: (i, ki)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, ki: (ki, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, ki: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ki: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k_pad * n_pad,
+            bytes_accessed=m_pad * k_pad * 2 + k_pad * n_pad + m_pad * n_pad * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_q, scale.astype(jnp.float32))
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# W8A8: dynamic activation quant + native int8 MXU matmul
+# ---------------------------------------------------------------------------
+
+
+def _qmm_w8a8_kernel(x_ref, wq_ref, scale_ref, o_ref, acc_ref, *, num_k):
+    """Per (row, k-tile) dynamic activation quantization fused into the
+    matmul: the bf16 x tile is quantized to int8 in VMEM, the MXU runs a
+    native s8 x s8 -> s32 dot (2x the bf16 MXU rate on v5e), and each
+    k-tile's contribution is rescaled into an fp32 accumulator.  Group-wise
+    (per-row-per-k-tile) activation scales are *finer* than whole-row W8A8,
+    so quantization error stays below weight-only int8 + bf16 rounding."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # [bm, 1]
+    x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    acc_i32 = jax.lax.dot(
+        x_q, wq_ref[...], preferred_element_type=jnp.int32
+    )
+    acc_ref[...] += acc_i32.astype(jnp.float32) * x_scale
+
+    @pl.when(ki == num_k - 1)
+    def _store():
+        o_ref[...] = (acc_ref[...] * scale_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+)
+def quant_matmul_w8a8(
+    x: jnp.ndarray,          # [M, K] bf16/fp32
+    w_q: jnp.ndarray,        # [K, N] int8
+    scale: jnp.ndarray,      # [1, N] fp32 (per-out-channel weight scale)
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1536,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """y = (dyn-int8(x) @ w_q) * x_scale * scale using the int8 MXU path."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2 and scale.shape == (1, n), (x.shape, w_q.shape, scale.shape)
+    x = x.astype(jnp.bfloat16)
+
+    block_m = min(block_m, _round_up(m, 128))
+    block_n = min(block_n, _round_up(n, 128))
+    block_k = min(block_k, _round_up(k, 128))
+
+    m_pad, k_pad, n_pad = (
+        _round_up(m, block_m), _round_up(k, block_k), _round_up(n, block_n)
+    )
+    if (m_pad, k_pad) != (m, k):
+        x = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))
+    if (k_pad, n_pad) != (k, n):
+        w_q = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))
+    if n_pad != n:
+        scale = jnp.pad(scale, ((0, 0), (0, n_pad - n)))
+
+    num_k = k_pad // block_k
+    out = pl.pallas_call(
+        functools.partial(_qmm_w8a8_kernel, num_k=num_k),
         grid=(m_pad // block_m, n_pad // block_n, num_k),
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, ki: (i, ki)),

@@ -83,22 +83,29 @@ def make_mesh(
 # row-parallel (shard input dim) for output projections; everything else
 # replicated.  Biases of column-parallel layers shard on their only dim.
 _TP_RULES: Tuple[Tuple[str, P], ...] = (
-    # double blocks
-    (r"double_blocks/attn/to_(q|k|v)/kernel", P(None, None, "tensor")),
-    (r"double_blocks/attn/add_(q|k|v)_proj/kernel", P(None, None, "tensor")),
+    # double blocks.  ``kernel(_q)?`` covers int8-quantized trees (kernel_q
+    # [*, K, N] + kernel_scale [*, 1, N]): N-sharded families shard the
+    # per-out-channel scales the same way; K-sharded families replicate them.
+    (r"double_blocks/attn/to_(q|k|v)/kernel(_q)?$", P(None, None, "tensor")),
+    (r"double_blocks/attn/to_(q|k|v)/kernel_scale", P(None, None, "tensor")),
+    (r"double_blocks/attn/add_(q|k|v)_proj/kernel(_q)?$", P(None, None, "tensor")),
+    (r"double_blocks/attn/add_(q|k|v)_proj/kernel_scale", P(None, None, "tensor")),
     (r"double_blocks/attn/to_(q|k|v)/bias", P(None, "tensor")),
     (r"double_blocks/attn/add_(q|k|v)_proj/bias", P(None, "tensor")),
-    (r"double_blocks/attn/to_out/kernel", P(None, "tensor", None)),
-    (r"double_blocks/attn/to_add_out/kernel", P(None, "tensor", None)),
-    (r"double_blocks/ff(_context)?/in/kernel", P(None, None, "tensor")),
+    (r"double_blocks/attn/to_out/kernel(_q)?$", P(None, "tensor", None)),
+    (r"double_blocks/attn/to_add_out/kernel(_q)?$", P(None, "tensor", None)),
+    (r"double_blocks/ff(_context)?/in/kernel(_q)?$", P(None, None, "tensor")),
+    (r"double_blocks/ff(_context)?/in/kernel_scale", P(None, None, "tensor")),
     (r"double_blocks/ff(_context)?/in/bias", P(None, "tensor")),
-    (r"double_blocks/ff(_context)?/out/kernel", P(None, "tensor", None)),
+    (r"double_blocks/ff(_context)?/out/kernel(_q)?$", P(None, "tensor", None)),
     # single blocks
-    (r"single_blocks/attn/to_(q|k|v)/kernel", P(None, None, "tensor")),
+    (r"single_blocks/attn/to_(q|k|v)/kernel(_q)?$", P(None, None, "tensor")),
+    (r"single_blocks/attn/to_(q|k|v)/kernel_scale", P(None, None, "tensor")),
     (r"single_blocks/attn/to_(q|k|v)/bias", P(None, "tensor")),
-    (r"single_blocks/proj_mlp/kernel", P(None, None, "tensor")),
+    (r"single_blocks/proj_mlp/kernel(_q)?$", P(None, None, "tensor")),
+    (r"single_blocks/proj_mlp/kernel_scale", P(None, None, "tensor")),
     (r"single_blocks/proj_mlp/bias", P(None, "tensor")),
-    (r"single_blocks/proj_out/kernel", P(None, "tensor", None)),
+    (r"single_blocks/proj_out/kernel(_q)?$", P(None, "tensor", None)),
 )
 
 

@@ -153,3 +153,46 @@ class TestShardedInference:
         np.testing.assert_allclose(
             np.asarray(out[:1]), np.asarray(out0), atol=1e-4, rtol=1e-4
         )
+
+
+class TestQuantizedTP:
+    def test_tensor_parallel_quantized_forward_matches(self):
+        """2-way TP sharding of an int8-quantized DiT (kernel_q/kernel_scale
+        leaves shard with their kernels; the XLA dequant path partitions
+        cleanly) must match the unsharded quantized forward."""
+        from loongx_tpu.models.flux.model import flux_forward
+        from loongx_tpu.ops.quant import quantize_tree
+
+        pipe = LoongXPipeline.tiny(jax.random.key(0))
+        cfg = pipe.flux_cfg
+        params_q = quantize_tree(pipe.params["flux"])
+        batch = dict(
+            img=jnp.ones((2, 16, cfg.in_channels)),
+            txt=jnp.ones((2, 4, cfg.joint_dim)),
+            pooled=jnp.ones((2, cfg.pooled_dim)),
+            timestep=jnp.array([0.5, 0.3]),
+            guidance=jnp.array([3.5, 3.5]),
+            img_ids=latent_image_ids(8, 8),
+            txt_ids=jnp.zeros((4, 3)),
+        )
+        ref = flux_forward(params_q, cfg, **batch, attn_backend="xla")
+
+        mesh = make_mesh(data=2, tensor=4)
+        rules = param_sharding_rules(params_q, mesh)
+        specs = {
+            str(k): v.spec
+            for k, v in jax.tree_util.tree_flatten_with_path(rules)[0]
+        }
+        # quantized leaves actually picked up TP shardings
+        assert any("kernel_q" in k and "tensor" in str(s)
+                   for k, s in specs.items()), specs
+        assert any("kernel_scale" in k and "tensor" in str(s)
+                   for k, s in specs.items())
+
+        params_sh = shard_params(params_q, mesh)
+        out = jax.jit(
+            lambda p, b: flux_forward(p, cfg, **b, attn_backend="xla")
+        )(params_sh, batch)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
