@@ -52,6 +52,14 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "28"))
     height = width = int(os.environ.get("BENCH_SIZE", "512"))
 
+    # Serving mode for the int8 full-dev path: W8A8 (native int8 MXU,
+    # 193-280 TF/s on these shapes) by default — end-to-end latent agreement
+    # with the bf16 model measured at cos=0.99992 (vs 0.99997 for
+    # weight-only int8; see PARITY.md).  LOONGX_W8A8=0 opts out.
+    if full and "LOONGX_W8A8" not in os.environ:
+        os.environ["LOONGX_W8A8"] = "1"
+    w8a8 = os.environ.get("LOONGX_W8A8") == "1" and full
+
     cfg = (
         FluxConfig.flux_dev()
         if full
@@ -159,6 +167,7 @@ def main():
     result = {
         "metric": f"edits/sec/chip ({height}x{width}, {steps}-step, cond-image, "
         f"{'flux-dev-int8 19+38' if full else 'flux-lite 8+16'}"
+        f"{' w8a8' if w8a8 else ''}"
         f"{', batch ' + str(b) if b > 1 else ''}"
         f"{'' if decode is not None else ', no-vae'})",
         "value": round(b / dt, 4) if dt else 0.0,

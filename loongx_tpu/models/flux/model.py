@@ -227,12 +227,14 @@ def linear(
             and current_tp() is None
         ):
             # tile-dequant Pallas matmul: int8 HBM reads, no bf16 weight
-            # copy; LOONGX_W8A8=1 upgrades to the native int8-MXU kernel
+            # copy; differentiable wrt activations (custom_vjp transposed
+            # kernel) so LoRA trains against a frozen int8 base (QLoRA);
+            # LOONGX_W8A8=1 upgrades serving to the native int8-MXU kernel
             from loongx_tpu.ops.quant_matmul import (
-                quant_matmul, quant_matmul_w8a8, use_w8a8,
+                quant_matmul_vjp, quant_matmul_w8a8, use_w8a8,
             )
 
-            qmm = quant_matmul_w8a8 if use_w8a8() else quant_matmul
+            qmm = quant_matmul_w8a8 if use_w8a8() else quant_matmul_vjp
             lead = x.shape[:-1]
             y = qmm(
                 x.reshape(-1, x.shape[-1]), p["kernel_q"],

@@ -119,6 +119,119 @@ def quant_matmul(
 
 
 # ---------------------------------------------------------------------------
+# Backward: dx = dy @ (w_q * scale)^T without materialising the bf16 weight
+# ---------------------------------------------------------------------------
+
+
+def _qmm_t_kernel(dy_ref, wq_ref, scale_ref, o_ref, acc_ref, *, num_n):
+    """dx[m, k] = sum_n dy[m, n] * scale[n] * w_q[k, n].  The weight tile is
+    read in its stored [K, N] layout and contracted on N in-register — no
+    transposed copy, int8 HBM reads."""
+    ni = pl.program_id(2)
+
+    @pl.when(ni == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    dy = (dy_ref[...].astype(jnp.float32) * scale_ref[...]).astype(jnp.bfloat16)
+    w = wq_ref[...].astype(jnp.bfloat16)  # [bk, bn]
+    acc_ref[...] += jax.lax.dot_general(
+        dy, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ni == num_n - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+)
+def quant_matmul_t(
+    dy: jnp.ndarray,         # [M, N] bf16/fp32
+    w_q: jnp.ndarray,        # [K, N] int8 (stored layout)
+    scale: jnp.ndarray,      # [1, N] fp32
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1536,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """dx = dy @ (w_q * scale)^T -> [M, K]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, n = dy.shape
+    k, n2 = w_q.shape
+    assert n == n2 and scale.shape == (1, n), (dy.shape, w_q.shape, scale.shape)
+    dy = dy.astype(jnp.bfloat16)
+
+    block_m = min(block_m, _round_up(m, 128))
+    block_n = min(block_n, _round_up(n, 128))
+    block_k = min(block_k, _round_up(k, 128))
+
+    m_pad, k_pad, n_pad = (
+        _round_up(m, block_m), _round_up(k, block_k), _round_up(n, block_n)
+    )
+    if (m_pad, n_pad) != (m, n):
+        dy = jnp.pad(dy, ((0, m_pad - m), (0, n_pad - n)))
+    if (k_pad, n_pad) != (k, n):
+        w_q = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))
+    if n_pad != n:
+        scale = jnp.pad(scale, ((0, 0), (0, n_pad - n)))
+
+    num_n = n_pad // block_n
+    out = pl.pallas_call(
+        functools.partial(_qmm_t_kernel, num_n=num_n),
+        grid=(m_pad // block_m, k_pad // block_k, num_n),
+        in_specs=[
+            pl.BlockSpec((block_m, block_n), lambda i, j, ni: (i, ni)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, ni: (j, ni)),
+            pl.BlockSpec((1, block_n), lambda i, j, ni: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_k), lambda i, j, ni: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, k_pad), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((block_m, block_k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k_pad * n_pad,
+            bytes_accessed=m_pad * n_pad * 2 + k_pad * n_pad + m_pad * k_pad * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dy, w_q, scale.astype(jnp.float32))
+    return out[:m, :k]
+
+
+@jax.custom_vjp
+def quant_matmul_vjp(x, w_q, scale):
+    """Differentiable (wrt x) int8-weight matmul: forward = quant_matmul,
+    backward dx via the transposed-contraction kernel.  Weights/scales are
+    frozen (QLoRA-style: the quantized base never receives gradients — the
+    reference likewise trains only LoRA, model.py:533-543)."""
+    return quant_matmul(x, w_q, scale)
+
+
+def _qmm_fwd(x, w_q, scale):
+    return quant_matmul(x, w_q, scale), (w_q, scale)
+
+
+def _qmm_bwd(res, dy):
+    w_q, scale = res
+    import numpy as np
+
+    dx = quant_matmul_t(dy, w_q, scale)
+    return (
+        dx,
+        np.zeros(w_q.shape, jax.dtypes.float0),
+        jnp.zeros_like(scale),
+    )
+
+
+quant_matmul_vjp.defvjp(_qmm_fwd, _qmm_bwd)
+
+
+# ---------------------------------------------------------------------------
 # W8A8: dynamic activation quant + native int8 MXU matmul
 # ---------------------------------------------------------------------------
 

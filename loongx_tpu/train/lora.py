@@ -40,9 +40,10 @@ DEFAULT_TARGETS: Tuple[str, ...] = (
 
 
 def _walk_linears(tree: Params, prefix: str = ""):
-    """Yield (path, dict) for every linear-like subtree ({kernel: ...})."""
+    """Yield (path, dict) for every linear-like subtree — bf16 ({kernel})
+    or int8-quantized ({kernel_q, kernel_scale})."""
     if isinstance(tree, dict):
-        if "kernel" in tree:
+        if "kernel" in tree or "kernel_q" in tree:
             yield prefix, tree
         else:
             for k, v in tree.items():
@@ -68,7 +69,7 @@ def add_lora(
         raise ValueError(f"no linears matched LoRA targets {targets}")
     keys = jax.random.split(key, len(matched))
     for (path, leaf), k in zip(matched, keys):
-        kernel = leaf["kernel"]
+        kernel = leaf.get("kernel", leaf.get("kernel_q"))  # QLoRA: int8 base
         *stack, d_in, d_out = kernel.shape
         leaf["lora_a"] = (
             jax.random.normal(k, (*stack, d_in, r), jnp.float32) / r
