@@ -60,7 +60,10 @@ def prodigy(
             mu=zeros,
             nu=jax.tree.map(jnp.zeros_like, params),
             s=jax.tree.map(jnp.zeros_like, params),
-            p0=jax.tree.map(lambda x: x, params),
+            # p0 must be a REAL copy: aliasing the live param buffers makes
+            # a donated train state contain the same buffer twice, which the
+            # runtime rejects (INVALID_ARGUMENT on donation aliasing)
+            p0=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         )
 
     def update_fn(grads, state, params):
