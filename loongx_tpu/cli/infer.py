@@ -244,6 +244,10 @@ def main(argv=None):
     parser.add_argument("--neural_only", action="store_true",
                         help="allow running without text tokenizers (zero "
                         "text embeds; brain embeds replace them)")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantize DiT + text encoders at load "
+                        "(single-chip serving of the 12B; W8A8 via "
+                        "LOONGX_W8A8=1)")
     parser.add_argument(
         "--lora", action="append", default=None,
         help="LoRA safetensors to load.  A bare path merges the adapter into "
@@ -257,7 +261,9 @@ def main(argv=None):
 
     from loongx_tpu.models.pipeline import LoongXPipeline
 
-    pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
+    pipeline = LoongXPipeline.from_pretrained(
+        args.checkpoint, quantize=args.int8
+    )
     for spec in args.lora or []:
         name, path = spec.split("=", 1) if "=" in spec else (None, spec)
         _attach_lora(pipeline, path, name)

@@ -137,11 +137,47 @@ class LoongXPipeline:
         return pipe
 
     @staticmethod
-    def from_pretrained(path: str, dtype=jnp.bfloat16) -> "LoongXPipeline":
-        """Load a converted checkpoint directory (see utils/convert.py)."""
+    def from_pretrained(
+        path: str, dtype=jnp.bfloat16, quantize: bool = False
+    ) -> "LoongXPipeline":
+        """Load a converted checkpoint directory (see utils/convert.py).
+
+        quantize=True int8-quantizes the DiT and text encoders at load —
+        the single-chip serving mode (see docs/WEIGHTS.md memory budget)."""
         from loongx_tpu.utils.checkpoint import load_pipeline
 
-        return load_pipeline(path, dtype=dtype)
+        pipe = load_pipeline(path, dtype=dtype)
+        if quantize:
+            pipe.quantize()
+        return pipe
+
+    def quantize(self, dit: bool = True, text: bool = True) -> "LoongXPipeline":
+        """Int8-quantize weights in place (per-out-channel, ops/quant.py).
+
+        The DiT runs its Pallas tile-dequant / W8A8 kernels; the text
+        encoders use the transparent qdot dequant (one-shot per prompt,
+        off the denoise hot path)."""
+        from loongx_tpu.ops.quant import quantize_tree
+
+        if dit and "flux" in self.params:
+            self.params["flux"] = quantize_tree(self.params["flux"])
+        if text:
+            for name in ("t5", "clip"):
+                if name in self.params:
+                    self.params[name] = quantize_tree(self.params[name])
+        return self
+
+    def free_text_encoders(self) -> None:
+        """Release T5/CLIP params (device memory drops by their footprint).
+
+        Single-chip staging recipe for the FULL pipeline in ~14 GiB: encode
+        all prompts first (batched), call this, then run the denoise loop —
+        the functional design makes the encoders a plain pytree to drop.
+        ``encode_text`` raises afterwards; re-load to encode again."""
+        for name in ("t5", "clip"):
+            self.params.pop(name, None)
+        self.t5_tokenizer = None
+        self.clip_tokenizer = None
 
     # ------------------------------------------------------------------
     # Encoding helpers (the reference's pipeline_tools equivalents)

@@ -15,7 +15,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from loongx_tpu.ops.nn import Params, init_linear, init_layer_norm, layer_norm
+from loongx_tpu.ops.nn import (
+    Params, init_linear, init_layer_norm, layer_norm, qdot,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,7 +98,7 @@ def clip_encode(
                        cfg.layer_norm_eps)
 
         def proj(p, t):
-            y = jnp.dot(t, p["kernel"], preferred_element_type=jnp.float32)
+            y = qdot(p, t)  # int8-weight aware
             y = (y + p["bias"].astype(jnp.float32)).astype(t.dtype)
             return y.reshape(b, s, cfg.num_heads, -1).transpose(0, 2, 1, 3)
 
@@ -112,22 +114,18 @@ def clip_encode(
         ).astype(x.dtype)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
         attn = (
-            jnp.dot(attn, blk["o"]["kernel"], preferred_element_type=jnp.float32)
-            + blk["o"]["bias"].astype(jnp.float32)
+            qdot(blk["o"], attn) + blk["o"]["bias"].astype(jnp.float32)
         ).astype(x.dtype)
         x = x + attn
 
         h = layer_norm(x, blk["ln2"]["weight"], blk["ln2"]["bias"],
                        cfg.layer_norm_eps)
         h = quick_gelu(
-            (
-                jnp.dot(h, blk["fc1"]["kernel"], preferred_element_type=jnp.float32)
-                + blk["fc1"]["bias"].astype(jnp.float32)
-            ).astype(x.dtype)
+            (qdot(blk["fc1"], h) + blk["fc1"]["bias"].astype(jnp.float32))
+            .astype(x.dtype)
         )
         h = (
-            jnp.dot(h, blk["fc2"]["kernel"], preferred_element_type=jnp.float32)
-            + blk["fc2"]["bias"].astype(jnp.float32)
+            qdot(blk["fc2"], h) + blk["fc2"]["bias"].astype(jnp.float32)
         ).astype(x.dtype)
         return x + h, None
 

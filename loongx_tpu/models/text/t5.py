@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from loongx_tpu.ops.nn import Params, init_linear, rms_norm
+from loongx_tpu.ops.nn import Params, init_linear, qdot, rms_norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,7 +120,7 @@ def t5_encode(
         h = rms_norm(x, blk["ln_attn"]["weight"], cfg.layer_norm_eps)
 
         def proj(p, t):
-            y = jnp.dot(t, p["kernel"], preferred_element_type=jnp.float32)
+            y = qdot(p, t)  # int8-weight aware (serving from a quantized T5)
             return y.astype(t.dtype).reshape(b, s, cfg.num_heads, cfg.d_kv).transpose(
                 0, 2, 1, 3
             )
@@ -135,22 +135,13 @@ def t5_encode(
             "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
-        x = x + jnp.dot(
-            attn, blk["o"]["kernel"], preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        x = x + qdot(blk["o"], attn).astype(x.dtype)
 
         # Gated-GELU FF.
         h = rms_norm(x, blk["ln_ff"]["weight"], cfg.layer_norm_eps)
-        gelu = jax.nn.gelu(
-            jnp.dot(h, blk["wi_0"]["kernel"], preferred_element_type=jnp.float32),
-            approximate=True,
-        )
-        lin = jnp.dot(h, blk["wi_1"]["kernel"], preferred_element_type=jnp.float32)
-        ff = jnp.dot(
-            (gelu * lin).astype(x.dtype),
-            blk["wo"]["kernel"],
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        gelu = jax.nn.gelu(qdot(blk["wi_0"], h), approximate=True)
+        lin = qdot(blk["wi_1"], h)
+        ff = qdot(blk["wo"], (gelu * lin).astype(x.dtype)).astype(x.dtype)
         return x + ff, None
 
     x, _ = jax.lax.scan(block_fn, x, params["blocks"])

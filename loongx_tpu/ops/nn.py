@@ -50,10 +50,28 @@ def init_linear(
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32)
+    y = qdot(p, x)
     if "bias" in p:
         y = y + p["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def qdot(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x @ kernel with transparent int8-weight support (fp32 result).
+
+    Accepts {kernel} or {kernel_q, kernel_scale} linears (ops/quant.py), so
+    the text encoders / VAE can serve from int8 weights — required for the
+    full pipeline (T5-XXL + CLIP + VAE + 12B DiT) to coexist in a ~14 GiB
+    chip.  These paths run once per prompt/image (not per denoise step), so
+    the XLA dequant (transient per-layer bf16 copy) is the right tradeoff —
+    the Pallas tile-dequant kernel stays on the DiT hot path."""
+    if "kernel_q" in p:
+        w = (
+            p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
+        ).astype(x.dtype)
+    else:
+        w = p["kernel"]
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -57,3 +57,49 @@ def test_zero_kernel_safe():
     p = {"kernel": jnp.zeros((8, 16))}
     q = quantize_linear(p)
     np.testing.assert_array_equal(np.asarray(dequant_kernel(q)), 0.0)
+
+
+def test_quantized_text_encoders_close():
+    """T5/CLIP serve from int8 weights (qdot path): outputs stay within
+    quantization noise of the bf16 towers."""
+    import numpy as np
+
+    from loongx_tpu.models.text.t5 import T5Config, init_t5_params, t5_encode
+    from loongx_tpu.models.text.clip import (
+        CLIPTextConfig, init_clip_params, clip_encode,
+    )
+    from loongx_tpu.ops.quant import quantize_tree
+
+    t5_cfg = T5Config.tiny()
+    t5 = init_t5_params(jax.random.key(0), t5_cfg, jnp.float32)
+    ids = jax.random.randint(jax.random.key(1), (2, 12), 0, t5_cfg.vocab_size)
+    ref = np.asarray(t5_encode(t5, t5_cfg, ids))
+    out = np.asarray(t5_encode(quantize_tree(t5), t5_cfg, ids))
+    rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.05, rel
+
+    c_cfg = CLIPTextConfig.tiny()
+    clip = init_clip_params(jax.random.key(2), c_cfg, jnp.float32)
+    cids = jax.random.randint(jax.random.key(3), (2, c_cfg.max_positions),
+                              0, c_cfg.vocab_size)
+    h_ref, p_ref = clip_encode(clip, c_cfg, cids)
+    h_q, p_q = clip_encode(quantize_tree(clip), c_cfg, cids)
+    rel = float(jnp.linalg.norm(h_q - h_ref) / (jnp.linalg.norm(h_ref) + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_pipeline_quantize_and_free_text_encoders():
+    from loongx_tpu.models.pipeline import LoongXPipeline
+
+    pipe = LoongXPipeline.tiny(jax.random.key(0)).quantize()
+    # DiT + text towers now carry int8 leaves
+    for name in ("flux", "t5", "clip"):
+        leaves = jax.tree_util.tree_leaves_with_path(pipe.params[name])
+        assert any("kernel_q" in str(p) for p, _ in leaves), name
+    # staged serving: drop text encoders, memory shrinks, encode_text raises
+    pipe.free_text_encoders()
+    assert "t5" not in pipe.params and "clip" not in pipe.params
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        pipe.encode_text(["x"])
