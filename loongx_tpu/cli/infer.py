@@ -212,9 +212,11 @@ def _attach_lora(pipeline, path: str, name=None):
 
     if pipeline.adapters is None:
         pipeline.adapters = AdapterRegistry()
-        # keep un-adapted leaves around so switching is pure value-swap
-        pipeline.params["flux"] = tree
     pipeline.adapters.add(name, lora_state_dict(tree))
+    # hold DEACTIVATED lora leaves in the live tree: switching is then a
+    # pure value swap, and nothing is applied until set_adapters selects it
+    pipeline.params["flux"] = pipeline.adapters.deactivate(tree)
+    pipeline.active_adapter = None
     print(f"[infer] registered adapter {name!r} from {path}")
 
 

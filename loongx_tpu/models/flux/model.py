@@ -231,10 +231,10 @@ def linear(
             # kernel) so LoRA trains against a frozen int8 base (QLoRA);
             # LOONGX_W8A8=1 upgrades serving to the native int8-MXU kernel
             from loongx_tpu.ops.quant_matmul import (
-                quant_matmul_vjp, quant_matmul_w8a8, use_w8a8,
+                quant_matmul_vjp, quant_matmul_w8a8_vjp, use_w8a8,
             )
 
-            qmm = quant_matmul_w8a8 if use_w8a8() else quant_matmul_vjp
+            qmm = quant_matmul_w8a8_vjp if use_w8a8() else quant_matmul_vjp
             lead = x.shape[:-1]
             y = qmm(
                 x.reshape(-1, x.shape[-1]), p["kernel_q"],

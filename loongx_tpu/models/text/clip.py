@@ -151,7 +151,4 @@ def clip_text_features(
     _, pooled = clip_encode(params, cfg, input_ids)
     if "text_projection" not in params:
         raise KeyError("params lack a text_projection head")
-    return jnp.dot(
-        pooled, params["text_projection"]["kernel"],
-        preferred_element_type=jnp.float32,
-    )
+    return qdot(params["text_projection"], pooled)

@@ -322,6 +322,22 @@ def quant_matmul_w8a8(
     return out[:m, :n]
 
 
+@jax.custom_vjp
+def quant_matmul_w8a8_vjp(x, w_q, scale):
+    """Differentiable (wrt x) W8A8 matmul: the forward quantizes activations
+    (straight-through); the backward is the same transposed int8 kernel as
+    the weight-only path — standard STE treatment of activation quant, so
+    QLoRA keeps working when LOONGX_W8A8=1 is set for serving."""
+    return quant_matmul_w8a8(x, w_q, scale)
+
+
+def _qmm_w8a8_fwd(x, w_q, scale):
+    return quant_matmul_w8a8(x, w_q, scale), (w_q, scale)
+
+
+quant_matmul_w8a8_vjp.defvjp(_qmm_w8a8_fwd, _qmm_bwd)
+
+
 def quant_linear_apply(p, x: jnp.ndarray) -> jnp.ndarray:
     """Apply an int8-quantized linear dict to [..., in] activations via the
     Pallas kernel (TPU) with an XLA dequant fallback elsewhere."""

@@ -195,17 +195,37 @@ def generate(
         brain_prompt, brain_pooled = encode_brain_conditions(
             pipeline, eeg=eeg, fnirs=fnirs, ppg=ppg, motion=motion
         )
-        if brain_prompt is not None and brain_pooled is not None:
-            if fuse_flag:
+        if fuse_flag:
+            if brain_prompt is not None and brain_pooled is not None:
                 fuse_fn = fuse_text_infer if fuse_mode == "infer" else fuse_text_train
                 prompt_embeds, pooled_prompt_embeds = fuse_fn(
                     pipeline.params["dgf"], prompt_embeds, pooled_prompt_embeds,
                     brain_prompt, brain_pooled,
                 )
-            else:
+        else:
+            # replacement mode: each embedding slot is replaced independently
+            # by whatever brain signal produced it (partial signal sets keep
+            # the text embedding for the missing slot)
+            if brain_prompt is not None:
                 prompt_embeds = brain_prompt.astype(pipeline.dtype)
-                pooled_prompt_embeds = brain_pooled.astype(pipeline.dtype)
                 txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+            if brain_pooled is not None:
+                pooled_prompt_embeds = brain_pooled.astype(pipeline.dtype)
+            if neural_only and (brain_prompt is None or brain_pooled is None):
+                # neural_only zeroed the text embeds; a slot the brain
+                # signals cannot fill would silently denoise on zeros
+                missing = [
+                    n for n, v in (("prompt (EEG)", brain_prompt),
+                                   ("pooled (fNIRS)", brain_pooled))
+                    if v is None
+                ]
+                raise RuntimeError(
+                    "neural_only=True but brain signals do not cover: "
+                    + ", ".join(missing)
+                    + " — the corresponding zero text embedding would "
+                    "silently destroy conditioning. Provide those signals "
+                    "or load text tokenizers."
+                )
 
     # ---- latents ----
     vae_scale = pipeline.vae_cfg.downscale
@@ -224,9 +244,26 @@ def generate(
     if conditions:
         if len(conditions) > 1:
             raise NotImplementedError("only one condition supported (parity)")
-        # per-condition-type adapter switch (reference generate.py:279)
+        # per-condition-type adapter switch (reference generate.py:279).
+        # Unlike peft's set_adapters, an unregistered condition type falls
+        # back to the base model (adapters deactivated) instead of raising
+        # after an expensive model load.
         if pipeline.adapters is not None:
-            pipeline.set_adapters(conditions[0].condition_type)
+            ctype = conditions[0].condition_type
+            if ctype in pipeline.adapters:
+                pipeline.set_adapters(ctype)
+            elif pipeline.active_adapter is not None:
+                # invariant: with no active adapter the tree is deactivated
+                # (registration stores adapters with zeroed scales)
+                pipeline.params["flux"] = pipeline.adapters.deactivate(
+                    pipeline.params["flux"]
+                )
+                pipeline.active_adapter = None
+                print(
+                    f"[generate] no adapter registered for {ctype!r} — "
+                    f"running base weights (available: "
+                    f"{pipeline.adapters.names()})"
+                )
         toks, ids, _type_ids = conditions[0].encode(pipeline)
         cond_tokens = jnp.broadcast_to(
             toks.astype(pipeline.dtype), (batch,) + toks.shape[1:]

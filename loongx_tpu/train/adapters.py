@@ -32,15 +32,24 @@ class AdapterRegistry:
     """Holds named LoRA adapters and activates one into a param tree."""
 
     def __init__(self):
-        self._adapters: Dict[str, Tuple[Dict[str, Any], float]] = {}
+        self._adapters: Dict[str, Tuple[Dict[str, Any], Optional[float]]] = {}
 
-    def add(self, name: str, state: Dict[str, Any], scale: float = 1.0) -> None:
-        """Register a flat {path/lora_a|lora_b: array} adapter state."""
+    def add(
+        self, name: str, state: Dict[str, Any], scale: Optional[float] = None
+    ) -> None:
+        """Register a flat {path/lora_a|lora_b[|lora_scale]: array} adapter.
+
+        scale=None keeps the state's own lora_scale entries (the trained
+        alpha/r scaling) or 1.0 where absent; a float overrides them all."""
         if not state:
             raise ValueError(f"adapter {name!r}: empty state dict")
-        self._adapters[name] = (dict(state), float(scale))
+        self._adapters[name] = (
+            dict(state), None if scale is None else float(scale)
+        )
 
-    def add_from_params(self, name: str, params: Params, scale: float = 1.0):
+    def add_from_params(
+        self, name: str, params: Params, scale: Optional[float] = None
+    ):
         """Capture the LoRA leaves currently in ``params`` as an adapter."""
         self.add(name, lora_state_dict(params), scale)
 
@@ -53,21 +62,28 @@ class AdapterRegistry:
     def activate(self, params: Params, name: str) -> Params:
         """Return ``params`` with adapter ``name``'s factors and scale set.
 
-        Raises KeyError (listing available names) for unknown adapters —
-        peft's set_adapters behaves the same way.
+        All other lora scales are zeroed first, so switching between
+        adapters that target different module sets (or ranks) never blends
+        them.  Raises KeyError (listing available names) for unknown
+        adapters — peft's set_adapters behaves the same way.
         """
         if name not in self._adapters:
             raise KeyError(
                 f"unknown adapter {name!r}; registered: {self.names()}"
             )
         state, scale = self._adapters[name]
-        params = jax.tree.map(lambda x: x, params)  # rebuild containers
-        params = load_lora_state_dict(params, state)
-        for path in {k.rsplit("/", 1)[0] for k in state}:
-            for lpath, leaf in _walk_linears(params):
-                if lpath == path:
-                    stack = leaf["lora_a"].shape[:-2]
-                    leaf["lora_scale"] = jnp.full(stack, scale, jnp.float32)
+        params = self.deactivate(params)  # kill any stale adapter's leaves
+        params = load_lora_state_dict(params, state, strict_shapes=False)
+        covered = {k.rsplit("/", 1)[0] for k in state}
+        for lpath, leaf in _walk_linears(params):
+            if lpath not in covered:
+                continue
+            stack = leaf["lora_a"].shape[:-2]
+            if scale is not None:
+                leaf["lora_scale"] = jnp.full(stack, scale, jnp.float32)
+            elif f"{lpath}/lora_scale" not in state:
+                leaf["lora_scale"] = jnp.full(stack, 1.0, jnp.float32)
+            # else: the state dict's own lora_scale was just loaded
         return params
 
     def deactivate(self, params: Params) -> Params:

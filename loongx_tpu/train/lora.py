@@ -121,18 +121,26 @@ def merge_lora(params: Params) -> Params:
 
 
 def lora_state_dict(params: Params) -> Dict[str, jnp.ndarray]:
-    """Flat {path: array} of only the LoRA leaves (for checkpointing —
+    """Flat {path: array} of only the LoRA leaves, INCLUDING lora_scale so a
+    trained alpha/r scaling survives the round trip (for checkpointing —
     equivalent of peft's get_peft_model_state_dict, reference model.py:526-531)."""
     out = {}
     for path, leaf in _walk_linears(params):
         if "lora_a" in leaf:
             out[f"{path}/lora_a"] = leaf["lora_a"]
             out[f"{path}/lora_b"] = leaf["lora_b"]
+            if "lora_scale" in leaf:
+                out[f"{path}/lora_scale"] = leaf["lora_scale"]
     return out
 
 
-def load_lora_state_dict(params: Params, state: Dict[str, Any]) -> Params:
-    """Inverse of `lora_state_dict` (mutates and returns ``params``)."""
+def load_lora_state_dict(
+    params: Params, state: Dict[str, Any], strict_shapes: bool = True
+) -> Params:
+    """Inverse of `lora_state_dict` (mutates and returns ``params``).
+
+    strict_shapes=False allows replacing factors with a different rank
+    (adapter switching across ranks — recompiles once downstream)."""
     index = {path: leaf for path, leaf in _walk_linears(params)}
     for key, value in state.items():
         path, leaf_name = key.rsplit("/", 1)
@@ -140,7 +148,11 @@ def load_lora_state_dict(params: Params, state: Dict[str, Any]) -> Params:
             raise KeyError(f"no linear at {path!r} in params")
         tgt = index[path]
         value = jnp.asarray(value)
-        if leaf_name in tgt and tgt[leaf_name].shape != value.shape:
+        if (
+            strict_shapes
+            and leaf_name in tgt
+            and tgt[leaf_name].shape != value.shape
+        ):
             raise ValueError(
                 f"{key}: shape {value.shape} != expected {tgt[leaf_name].shape}"
             )

@@ -128,3 +128,112 @@ def test_generate_routes_adapter_by_condition_type(pipe):
     )
     assert pipe.active_adapter == "canny"
     assert not np.allclose(out_subject, out_canny)
+
+
+def test_adapter_switch_does_not_blend_disjoint_target_sets(pipe):
+    """Activating B after A must zero A's contribution even when A and B
+    target different module sets (code-review r2 finding)."""
+    full = _random_adapter(pipe, 5)
+    a_state = {k: v for k, v in full.items() if k.startswith("double_blocks")}
+    b_state = {k: v for k, v in full.items() if k.startswith("single_blocks")}
+    reg = AdapterRegistry()
+    reg.add("a", a_state)
+    reg.add("b", b_state)
+    pipe.adapters = reg
+    pipe.active_adapter = None
+
+    pipe.params["flux"] = reg.deactivate(pipe.params["flux"])
+    base = _fwd(pipe)
+    pipe.set_adapters("a")
+    out_a = _fwd(pipe)
+    pipe.set_adapters("b")
+    out_ab = _fwd(pipe)
+    # B alone on a clean tree:
+    pipe.params["flux"] = reg.deactivate(pipe.params["flux"])
+    pipe.active_adapter = None
+    pipe.set_adapters("b")
+    out_b = _fwd(pipe)
+    np.testing.assert_array_equal(out_ab, out_b)
+    assert not np.allclose(out_a, out_b)
+    assert not np.allclose(out_b, base)
+
+
+def test_adapter_rank_switch(pipe):
+    """Adapters of different ranks swap without shape errors."""
+    from loongx_tpu.train.lora import lora_state_dict, add_lora
+
+    r2_state = _random_adapter(pipe, 6)  # rank 2 (fixture tree)
+    tree_r4 = add_lora(
+        jax.random.key(9),
+        jax.tree.map(lambda x: x, pipe.params["flux"]),
+    )  # default r=4 over same targets — shapes differ
+    # strip to fresh rank-4 factors with random b
+    rng = np.random.default_rng(7)
+    r4_state = {
+        k: jnp.asarray(0.1 * rng.standard_normal(v.shape), jnp.float32)
+        for k, v in lora_state_dict(tree_r4).items()
+        if k.endswith("lora_a") or k.endswith("lora_b")
+    }
+    reg = AdapterRegistry()
+    reg.add("r2", r2_state)
+    reg.add("r4", r4_state)
+    pipe.adapters = reg
+    pipe.active_adapter = None
+    pipe.set_adapters("r2")
+    out2 = _fwd(pipe)
+    pipe.set_adapters("r4")
+    out4 = _fwd(pipe)
+    assert not np.allclose(out2, out4)
+
+
+def test_generate_falls_back_to_base_for_unregistered_type(pipe):
+    from PIL import Image
+
+    from loongx_tpu.sampling import Condition, generate
+
+    reg = AdapterRegistry()
+    reg.add("canny", _random_adapter(pipe, 8))
+    pipe.adapters = reg
+    pipe.active_adapter = None
+    pipe.params["flux"] = reg.deactivate(pipe.params["flux"])
+
+    img = Image.fromarray(
+        np.random.default_rng(2).integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    )
+    kw = dict(
+        height=16, width=16, num_inference_steps=1, guidance_scale=3.5,
+        seed=0, attn_backend="xla", output_type="latent",
+        prompt_embeds=jnp.zeros((1, 8, pipe.flux_cfg.joint_dim)),
+        pooled_prompt_embeds=jnp.zeros((1, pipe.flux_cfg.pooled_dim)),
+        model_config={"latent_lora": True},
+    )
+    # no 'subject' adapter registered -> base weights, no KeyError
+    out_subject = generate(
+        pipe, conditions=[Condition("subject", raw_img=img)], **kw
+    )
+    assert pipe.active_adapter is None
+    out_canny = generate(
+        pipe, conditions=[Condition("canny", raw_img=img)], **kw
+    )
+    assert pipe.active_adapter == "canny"
+    assert not np.allclose(np.asarray(out_subject), np.asarray(out_canny))
+
+
+def test_add_from_params_preserves_trained_scale(pipe):
+    """add_from_params must keep the trained alpha/r lora_scale (not 1.0)."""
+    from loongx_tpu.train.lora import _walk_linears
+
+    tree = jax.tree.map(lambda x: x, pipe.params["flux"])
+    for _, leaf in _walk_linears(tree):
+        if "lora_scale" in leaf:
+            leaf["lora_scale"] = jnp.full_like(leaf["lora_scale"], 0.5)
+            leaf["lora_b"] = jnp.ones_like(leaf["lora_b"])  # visible delta
+    reg = AdapterRegistry()
+    reg.add_from_params("trained", tree)
+    out = reg.activate(pipe.params["flux"], "trained")
+    scales = [
+        float(leaf["lora_scale"].reshape(-1)[0])
+        for _, leaf in _walk_linears(out)
+        if "lora_scale" in leaf
+    ]
+    assert scales and all(s == 0.5 for s in scales), scales

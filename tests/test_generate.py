@@ -135,3 +135,63 @@ class TestCondition:
         assert tokens.shape[0] == 1 and tokens.shape[2] == pipe.flux_cfg.in_channels
         np.testing.assert_array_equal(np.asarray(ids[:, 2] >= 4), True)
         assert float(type_ids[0, 0]) == 1.0
+
+
+class TestPartialBrainReplacement:
+    """Replacement-mode (fuse_flag=False) semantics with partial signal sets
+    (code-review r2 finding: missing slots must not silently zero)."""
+
+    def _pipe(self):
+        return LoongXPipeline.tiny(jax.random.key(0))
+
+    def test_partial_brain_keeps_text_pooled(self, monkeypatch):
+        import importlib
+
+        from loongx_tpu.sampling import generate as gen_fn
+        gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+
+        pipe = self._pipe()
+        bp = jnp.ones((1, 8, pipe.flux_cfg.joint_dim), jnp.float32) * 0.3
+        monkeypatch.setattr(
+            gen_mod, "encode_brain_conditions", lambda *a, **k: (bp, None)
+        )
+        pipe.params["encoders"] = {}  # satisfy the guard
+        kw = dict(
+            height=16, width=16, num_inference_steps=1, guidance_scale=3.5,
+            seed=0, attn_backend="xla", output_type="latent",
+            pooled_prompt_embeds=jnp.full(
+                (1, pipe.flux_cfg.pooled_dim), 0.7, jnp.float32
+            ),
+            eeg=np.zeros((1, 4, 16), np.float32),
+        )
+        out_brain = gen_fn(
+            pipe, prompt_embeds=jnp.zeros((1, 8, pipe.flux_cfg.joint_dim)),
+            use_brain_condition=True, fuse_flag=False, **kw,
+        )
+        out_plain = gen_fn(
+            pipe, prompt_embeds=jnp.zeros((1, 8, pipe.flux_cfg.joint_dim)),
+            use_brain_condition=False, **kw,
+        )
+        # brain prompt replaced (outputs differ), pooled kept textual (run ok)
+        assert not np.allclose(np.asarray(out_brain), np.asarray(out_plain))
+
+    def test_neural_only_with_missing_slot_raises(self, monkeypatch):
+        import importlib
+
+        from loongx_tpu.sampling import generate as gen_fn
+        gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+
+        pipe = self._pipe()  # no tokenizers
+        bp = jnp.ones((1, 8, pipe.flux_cfg.joint_dim), jnp.float32)
+        monkeypatch.setattr(
+            gen_mod, "encode_brain_conditions", lambda *a, **k: (bp, None)
+        )
+        pipe.params["encoders"] = {}
+        with pytest.raises(RuntimeError, match="fNIRS"):
+            gen_fn(
+                pipe, prompt="edit", use_brain_condition=True,
+                fuse_flag=False, neural_only=True,
+                height=16, width=16, num_inference_steps=1,
+                attn_backend="xla", output_type="latent",
+                eeg=np.zeros((1, 4, 16), np.float32),
+            )

@@ -87,16 +87,59 @@ def test_w8a8_matches_fp32_reference():
 
 
 def test_w8a8_knob_routes_linear(monkeypatch):
-    """LOONGX_W8A8=1 must route int8 linears through the W8A8 kernel."""
+    """LOONGX_W8A8 must select which quant kernel linear() invokes (the
+    kernel imports happen at call time, so module-attr stubs observe it)."""
     import numpy as np
 
-    from loongx_tpu.models.flux.model import linear
+    import jax as _jax
+
+    from loongx_tpu.models.flux import model as model_mod
     from loongx_tpu.ops import quant_matmul as qm
 
-    monkeypatch.setenv("LOONGX_W8A8", "1")
-    assert qm.use_w8a8()
+    calls = []
+
+    def stub(tag):
+        def f(x, w_q, scale, *a, **k):
+            calls.append(tag)
+            return jnp.zeros((x.shape[0], w_q.shape[1]), jnp.bfloat16)
+        return f
+
+    monkeypatch.setattr(qm, "quant_matmul_vjp", stub("w-only"))
+    monkeypatch.setattr(qm, "quant_matmul_w8a8_vjp", stub("w8a8"))
+    # pretend we're on TPU so linear() takes the Pallas branch
+    monkeypatch.setattr(model_mod.jax, "default_backend", lambda: "tpu")
+
+    p = {
+        "kernel_q": jnp.zeros((8, 16), jnp.int8),
+        "kernel_scale": jnp.ones((1, 16), jnp.float32),
+    }
+    x = jnp.ones((4, 8), jnp.bfloat16)
+
     monkeypatch.setenv("LOONGX_W8A8", "0")
-    assert not qm.use_w8a8()
+    model_mod.linear(p, x)
+    monkeypatch.setenv("LOONGX_W8A8", "1")
+    model_mod.linear(p, x)
+    assert calls == ["w-only", "w8a8"], calls
+
+
+def test_w8a8_vjp_grad_matches_weight_only_backward():
+    """The W8A8 custom_vjp backward equals the weight-only backward (STE)."""
+    import numpy as np
+
+    from loongx_tpu.ops.quant_matmul import quant_matmul_vjp, quant_matmul_w8a8_vjp
+
+    rng = np.random.default_rng(2)
+    m, k, n = 32, 128, 64
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    scale = jnp.asarray(np.full((1, n), 1e-3), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+
+    g1 = jax.grad(lambda x: jnp.sum(
+        quant_matmul_vjp(x, wq, scale).astype(jnp.float32) * cot))(x)
+    g2 = jax.grad(lambda x: jnp.sum(
+        quant_matmul_w8a8_vjp(x, wq, scale).astype(jnp.float32) * cot))(x)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
 
 
 def test_quant_matmul_vjp_grad_matches_dequant():

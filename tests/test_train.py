@@ -88,8 +88,11 @@ class TestLora:
         mask = lora_mask(lp)
         n_true = sum(bool(m) for m in jax.tree.leaves(mask))
         sd = lora_state_dict(lp)
-        assert n_true == len(sd) * 1  # a+b per target, each True
-        assert all(("lora_a" in k or "lora_b" in k) for k in sd)
+        # state dict: a+b+scale per target; mask trains only a+b
+        assert len(sd) % 3 == 0
+        assert n_true == (len(sd) // 3) * 2
+        assert all(("lora_a" in k or "lora_b" in k or "lora_scale" in k)
+                   for k in sd)
 
     def test_state_dict_roundtrip(self, tiny):
         _, params = tiny
