@@ -85,8 +85,17 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
         return bq, 2 * bq  # pad(S) == bk == 2*bq
     if s128 % MAX_BLOCK_K == 0:
         return MAX_BLOCK_Q, MAX_BLOCK_K
-    # non-multiple long sequences: square 1280 tiles pad to 1280, not 2560
-    return MAX_BLOCK_Q, MAX_BLOCK_Q
+    # non-multiple long sequences: narrow-q x wide-kv tiles keep the MXU fed
+    # with fewer online-softmax passes — measured 126 vs 117 TF/s over
+    # square 1280 tiles at S=8704 (the 1024px point; benchmarks/ sweep)
+    long_bk = 4352  # 512x4352 fp32 scores tile = 8.9 MB VMEM
+    ntiles = -(-s128 // long_bk)
+    bk = _round_up(-(-s128 // ntiles), LANES)
+    s_pad = _round_up(s128, bk)
+    for bq in (512, 384, 256, LANES):
+        if s_pad % bq == 0:  # the grid needs block_q | padded length
+            return bq, bk
+    return bk, bk
 
 
 def _pair_swap_matrix(d: int) -> jnp.ndarray:

@@ -143,3 +143,37 @@ def test_pallas_backward_padded():
     for a, b in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-3)
+
+
+def test_auto_blocks_long_seq_divisibility():
+    """Long-S policy must always return blocks dividing the padded length
+    (num_q truncation would silently drop query rows otherwise)."""
+    from loongx_tpu.ops.flash_attention import auto_blocks, _round_up
+
+    for s in (2688, 2816, 4096, 5121, 8704, 9000, 16384, 33280):
+        bq, bk = auto_blocks(s)
+        s_pad = _round_up(_round_up(s, 128), max(bq, bk))
+        assert s_pad % bq == 0 and s_pad % bk == 0, (s, bq, bk, s_pad)
+        # scores tile stays within the VMEM budget
+        assert bq * bk * 4 <= 14 * 2**20, (s, bq, bk)
+
+
+def test_flash_long_seq_matches_xla():
+    """A past-2560 sequence through the new narrow-q/wide-kv tiling equals
+    the XLA reference."""
+    import numpy as np
+
+    from loongx_tpu.ops.attention import attention_xla
+    from loongx_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    B, H, S, D = 1, 1, 2816, 32
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+        for _ in range(3)
+    )
+    ref = attention_xla(q, k, v)
+    out = flash_attention(q, k, v, cond_start=S, mode="union")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
+    )
