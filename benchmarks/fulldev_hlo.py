@@ -46,9 +46,12 @@ def fwd(params, cfg, lat, txt, pooled, t, g, ids, txt_ids, cond):
 lowered = fwd.lower(params, cfg, lat, txt, pooled, t05, g35, ids, txt_ids, cond)
 compiled = lowered.compile()
 text = compiled.as_text()
+out_path = os.environ.get("HLO_OUT", "/tmp/fulldev_hlo.txt")
+with open(out_path, "w") as fh:
+    fh.write(text)
+print(f"wrote {len(text)} chars to {out_path}")
 pats = [p for p in sys.argv[1:]] or [
     "maximum_bitcast_fusion", "dynamic-slice_bitcast_fusion", "fusion.267",
-    "copy-done", "maximum_bitcast",
 ]
 for pat in pats:
     print(f"==== {pat} ====")

@@ -326,7 +326,12 @@ def _qkv(
     use_lora: bool = True,
     lora_mask: Optional[jnp.ndarray] = None,
 ):
-    """Project + split heads + per-head RMS q/k norm.  Returns [B,H,S,Dh]x3."""
+    """Project + split heads + per-head RMS q/k norm.  Returns [B,S,H,Dh]x3
+    — heads-last ("bshd"), the projection's natural output layout: the
+    flash-attention kernel head-slices its tiles via BlockSpec index maps, so
+    no HBM transpose to head-major is ever materialised (the reference pays
+    torch's .view().transpose() relayouts around every SDPA call,
+    block.py:84-95)."""
     if prefix == "to":
         q = linear(attn["to_q"], x, use_lora, lora_mask)
         k = linear(attn["to_k"], x, use_lora, lora_mask)
@@ -340,7 +345,7 @@ def _qkv(
     b, s, _ = q.shape
 
     def split(t):
-        return t.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)
+        return t.reshape(b, s, num_heads, -1)
 
     q, k, v = split(q), split(k), split(v)
     q = rms_norm(q, nq["weight"])
@@ -349,8 +354,8 @@ def _qkv(
 
 
 def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
-    b, h, s, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    b, s, h, d = x.shape  # bshd: merging heads is a free reshape
+    return x.reshape(b, s, h * d)
 
 
 def _seg_lora(
@@ -461,10 +466,11 @@ def double_block_forward(
     attn = block["attn"]
     q_l, k_l, v_l = _qkv(attn, n_lat, nh, "to", use_lora=luse, lora_mask=lmask)
     q_t, k_t, v_t = _qkv(attn, n_txt, nh, "add", use_lora=False)
-    # Sequence order [txt | img | cond] (reference block.py:70-72, 101-104).
-    q = jnp.concatenate([q_t, q_l], axis=2)
-    k = jnp.concatenate([k_t, k_l], axis=2)
-    v = jnp.concatenate([v_t, v_l], axis=2)
+    # Sequence order [txt | img | cond] (reference block.py:70-72, 101-104);
+    # token axis is 1 in the heads-last layout.
+    q = jnp.concatenate([q_t, q_l], axis=1)
+    k = jnp.concatenate([k_t, k_l], axis=1)
+    v = jnp.concatenate([v_t, v_l], axis=1)
 
     mode = "union"
     if not flags.get("union_cond_attn", True):
@@ -474,7 +480,7 @@ def double_block_forward(
     # RoPE rides into the attention backend (fused in the Pallas kernel)
     out = unified_attention(
         q, k, v, cond_len=s_cond, mode=mode, c_factor=c_factor,
-        rope=rope_full, backend=attn_backend,
+        rope=rope_full, backend=attn_backend, layout="bshd",
     )
     out = _merge_heads(out)
 
@@ -563,7 +569,7 @@ def single_block_forward(
         mode = "independent"
     out = unified_attention(
         q, k, v, cond_len=s_cond, mode=mode, c_factor=c_factor,
-        rope=rope_full, backend=attn_backend,
+        rope=rope_full, backend=attn_backend, layout="bshd",
     )
     out = _merge_heads(out)
 

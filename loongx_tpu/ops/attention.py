@@ -87,12 +87,15 @@ def unified_attention(
     c_factor: Optional[jnp.ndarray] = None,
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     backend: str = "auto",
+    layout: str = "bhsd",
 ) -> jnp.ndarray:
     """Attention over the unified [txt|img|cond] sequence.
 
     Args:
-      q, k, v: [B, H, S, Dh]; the last ``cond_len`` positions are condition
-        tokens.
+      q, k, v: [B, H, S, Dh] (layout="bhsd") or [B, S, H, Dh]
+        (layout="bshd" — the projection output layout; on the Pallas path the
+        kernel head-slices directly, so no HBM transpose is ever paid); the
+        last ``cond_len`` positions are condition tokens.
       cond_len: static number of condition tokens (0 = no condition stream).
       mode: one of MODES; see module docstring.
       c_factor: optional scalar condition-strength factor (traced); when given
@@ -101,11 +104,14 @@ def unified_attention(
         inside the Pallas kernel (fused), or up front on the XLA path.
       backend: "auto" | "xla" | "pallas".
 
-    Returns: [B, H, S, Dh] in q's dtype.
+    Returns: same layout as the inputs, in q's dtype.
     """
     if mode not in MODES:
         raise ValueError(f"unknown attention mode {mode!r}")
-    s = q.shape[2]
+    if layout not in ("bhsd", "bshd"):
+        raise ValueError(f"unknown layout {layout!r}")
+    bshd = layout == "bshd"
+    s = q.shape[1] if bshd else q.shape[2]
     cond_start = s - cond_len
     if cond_len == 0:
         mode, c_factor = "union", None
@@ -125,18 +131,22 @@ def unified_attention(
             mesh, axis = tp
             return tp_flash_attention(
                 mesh, q, k, v, cond_start=cond_start, mode=mode,
-                c_factor=c_factor, rope=rope, axis=axis,
+                c_factor=c_factor, rope=rope, axis=axis, layout=layout,
             )
         from loongx_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(
             q, k, v, cond_start=cond_start, mode=mode, c_factor=c_factor,
-            rope=rope,
+            rope=rope, layout=layout,
         )
+    if bshd:
+        # XLA reference path works head-major; transposes fuse fine off-TPU
+        q, k, v = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
     if rope is not None:
         from loongx_tpu.ops.rope import apply_rope
 
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)
     bias = _block_bias(s, s, cond_start, mode, c_factor)
-    return attention_xla(q, k, v, bias)
+    out = attention_xla(q, k, v, bias)
+    return jnp.swapaxes(out, 1, 2) if bshd else out

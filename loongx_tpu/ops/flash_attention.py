@@ -118,6 +118,14 @@ def _rope_rotate(x, cos, sin, r):
     return (xf * cos + xr * sin).astype(x.dtype)
 
 
+def _tile(ref, bshd: bool):
+    """Extract the [block_s, D] tile from a q/k/v/o ref in either layout:
+    [1, 1, block_s, D] (bhsd) or [1, block_s, D] (bshd — the array is viewed
+    [B, S, H*D] and the BlockSpec slices head h's D-wide column strip, so the
+    last two block dims stay (block_s, D) as Mosaic requires)."""
+    return ref[0] if bshd else ref[0, 0]
+
+
 def _fwd_kernel(
     cbias_ref,  # SMEM (1, 1) fp32: log(c_factor) (0 when unused)
     q_ref, k_ref, v_ref,  # VMEM tiles
@@ -133,6 +141,7 @@ def _fwd_kernel(
     block_q: int,
     block_k: int,
     num_kv: int,
+    bshd: bool = False,
 ):
     if save_residuals:
         o_ref, m_out_ref, l_out_ref, m_ref, l_ref, acc_ref = refs
@@ -147,8 +156,8 @@ def _fwd_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]  # [block_q, D]
-    k = k_ref[0, 0]  # [block_k, D]
+    q = _tile(q_ref, bshd)  # [block_q, D]
+    k = _tile(k_ref, bshd)  # [block_k, D]
     if use_rope:
         r = _pair_swap_matrix(q.shape[-1])
         q = _rope_rotate(q, cos_q_ref[...], sin_q_ref[...], r)
@@ -190,7 +199,7 @@ def _fwd_kernel(
     m_ref[...] = m_next
     l_ref[...] = l_next
 
-    v = v_ref[0, 0]  # [block_k, D]
+    v = _tile(v_ref, bshd)  # [block_k, D]
     pv = jax.lax.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )  # [block_q, D]
@@ -200,8 +209,13 @@ def _fwd_kernel(
     def _store():
         l_final = l_ref[...][:, :1]
         safe_l = jnp.where(l_final == 0.0, 1.0, l_final)
-        o_ref[0, 0] = (acc_ref[...] / safe_l).astype(o_ref.dtype)
+        o = (acc_ref[...] / safe_l).astype(o_ref.dtype)
+        if bshd:
+            o_ref[0] = o
+        else:
+            o_ref[0, 0] = o
         if save_residuals:
+            # stats stay [B, H, S, LANES] in both layouts
             m_out_ref[0, 0] = m_ref[...]
             l_out_ref[0, 0] = l_ref[...]
 
@@ -210,7 +224,7 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=(
         "cond_start", "mode", "block_q", "block_k", "use_rope",
-        "save_residuals", "interpret",
+        "save_residuals", "interpret", "bshd",
     ),
 )
 def _flash_fwd(
@@ -227,14 +241,21 @@ def _flash_fwd(
     use_rope: bool,
     interpret: bool,
     save_residuals: bool = False,
+    bshd: bool = False,
 ):
-    b, h, s, d = q.shape
+    if bshd:
+        b, s, h, d = q.shape
+        s_axis = 1
+    else:
+        b, h, s, d = q.shape
+        s_axis = 2
     scale = 1.0 / math.sqrt(d)
     use_cfactor = mode == "cfactor"
 
     s_pad = _round_up(s, max(block_q, block_k))
     if s_pad != s:
-        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        pad = [(0, 0)] * 4
+        pad[s_axis] = (0, s_pad - s)
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
@@ -243,6 +264,12 @@ def _flash_fwd(
             sin = jnp.pad(sin, [(0, s_pad - s), (0, 0)])
     num_q = s_pad // block_q
     num_kv = s_pad // block_k
+    if bshd:
+        # view as [B, S, H*D]: head h is the D-wide column strip h*D:(h+1)*D,
+        # sliced by the BlockSpec index maps (free bitcast, no transpose)
+        q = q.reshape(b, s_pad, h * d)
+        k = k.reshape(b, s_pad, h * d)
+        v = v.reshape(b, s_pad, h * d)
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -256,6 +283,7 @@ def _flash_fwd(
         block_q=block_q,
         block_k=block_k,
         num_kv=num_kv,
+        bshd=bshd,
     )
     if use_rope:
         rope_specs = [
@@ -271,37 +299,50 @@ def _flash_fwd(
         rope_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         rope_args = (dummy, dummy, dummy, dummy)
 
-    o_spec = pl.BlockSpec(
-        (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
-    )
+    if bshd:
+        o_spec = pl.BlockSpec(
+            (1, block_q, d), lambda b, h, qi, ki: (b, qi, h)
+        )
+        o_struct = jax.ShapeDtypeStruct((b, s_pad, h * d), q.dtype)
+        q_spec = pl.BlockSpec(
+            (1, block_q, d), lambda b, h, qi, ki: (b, qi, h)
+        )
+        kv_spec = pl.BlockSpec(
+            (1, block_k, d), lambda b, h, qi, ki: (b, ki, h)
+        )
+    else:
+        o_spec = pl.BlockSpec(
+            (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
+        )
+        o_struct = jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype)
+        q_spec = pl.BlockSpec(
+            (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
+        )
+        kv_spec = pl.BlockSpec(
+            (1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0)
+        )
     stat_spec = pl.BlockSpec(
         (1, 1, block_q, LANES), lambda b, h, qi, ki: (b, h, qi, 0)
     )
     if save_residuals:
         out_specs = (o_spec, stat_spec, stat_spec)
         out_shape = (
-            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            o_struct,
             jax.ShapeDtypeStruct((b, h, s_pad, LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, h, s_pad, LANES), jnp.float32),
         )
     else:
         out_specs = o_spec
-        out_shape = jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype)
+        out_shape = o_struct
 
     out = pl.pallas_call(
         kernel,
         grid=(b, h, num_q, num_kv),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0)
-            ),
+            q_spec,
+            kv_spec,
+            kv_spec,
             *rope_specs,
         ],
         out_specs=out_specs,
@@ -322,10 +363,16 @@ def _flash_fwd(
         ),
         interpret=interpret,
     )(cbias, q, k, v, *rope_args)
+
+    def _slice_s(x):
+        if bshd:
+            return x.reshape(b, s_pad, h, d)[:, :s]
+        return x[:, :, :s, :]
+
     if save_residuals:
         o, m, l = out
-        return o[:, :, :s, :], m[:, :, :s, :1], l[:, :, :s, :1]
-    return out[:, :, :s, :]
+        return _slice_s(o), m[:, :, :s, :1], l[:, :, :s, :1]
+    return _slice_s(out)
 
 
 # ---------------------------------------------------------------------------
@@ -365,7 +412,7 @@ def _bwd_dkv_kernel(
     dk_acc, dv_acc,
     *,
     scale, mode, use_rope, cond_start, seq_len, block_q, block_k, num_q,
-    padded,
+    padded, bshd=False,
 ):
     ki = pl.program_id(2)
     qi = pl.program_id(3)
@@ -375,8 +422,8 @@ def _bwd_dkv_kernel(
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
+    q = _tile(q_ref, bshd)
+    k = _tile(k_ref, bshd)
     if use_rope:
         r = _pair_swap_matrix(q.shape[-1])
         q = _rope_rotate(q, cos_q_ref[...], sin_q_ref[...], r)
@@ -389,13 +436,13 @@ def _bwd_dkv_kernel(
         scale=scale, mode=mode, cond_start=cond_start, seq_len=seq_len,
         block_q=block_q, block_k=block_k, padded=padded,
     )
-    do = do_ref[0, 0].astype(jnp.float32)
+    do = _tile(do_ref, bshd).astype(jnp.float32)
     # dv += p^T do
     dv_acc[...] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     # dp = do v^T ; ds = p (dp - di) * scale
-    v = v_ref[0, 0].astype(jnp.float32)
+    v = _tile(v_ref, bshd).astype(jnp.float32)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -413,8 +460,12 @@ def _bwd_dkv_kernel(
             r = _pair_swap_matrix(dk.shape[-1])
             rot = jax.lax.dot(dk, r, preferred_element_type=jnp.float32)
             dk = dk * cos_k_ref[...] - rot * sin_k_ref[...]
-        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+        if bshd:
+            dk_ref[0] = dk.astype(dk_ref.dtype)
+            dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+        else:
+            dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(
@@ -424,7 +475,7 @@ def _bwd_dq_kernel(
     dq_acc,
     *,
     scale, mode, use_rope, cond_start, seq_len, block_q, block_k, num_kv,
-    padded,
+    padded, bshd=False,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -433,8 +484,8 @@ def _bwd_dq_kernel(
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
+    q = _tile(q_ref, bshd)
+    k = _tile(k_ref, bshd)
     if use_rope:
         r = _pair_swap_matrix(q.shape[-1])
         q = _rope_rotate(q, cos_q_ref[...], sin_q_ref[...], r)
@@ -447,8 +498,8 @@ def _bwd_dq_kernel(
         scale=scale, mode=mode, cond_start=cond_start, seq_len=seq_len,
         block_q=block_q, block_k=block_k, padded=padded,
     )
-    do = do_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    do = _tile(do_ref, bshd).astype(jnp.float32)
+    v = _tile(v_ref, bshd).astype(jnp.float32)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -464,67 +515,89 @@ def _bwd_dq_kernel(
             r = _pair_swap_matrix(dq.shape[-1])
             rot = jax.lax.dot(dq, r, preferred_element_type=jnp.float32)
             dq = dq * cos_q_ref[...] - rot * sin_q_ref[...]
-        dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+        if bshd:
+            dq_ref[0] = dq.astype(dq_ref.dtype)
+        else:
+            dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cond_start", "mode", "block_q", "block_k", "use_rope", "interpret",
+        "bshd",
     ),
 )
 def _flash_bwd_pallas(
     q, k, v, cos, sin, o, m, l, do,
-    cond_start, mode, block_q, block_k, use_rope, interpret,
+    cond_start, mode, block_q, block_k, use_rope, interpret, bshd=False,
 ):
     """Pallas dKV + dQ passes.  Returns (dq, dk, dv)."""
-    b, h, s, d = q.shape
+    if bshd:
+        b, s, h, d = q.shape
+        s_axis = 1
+    else:
+        b, h, s, d = q.shape
+        s_axis = 2
     scale = 1.0 / math.sqrt(d)
     di = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
-    )  # [B, H, S, 1]
+    )
+    if bshd:
+        # stats layout is [B, H, S, 1] in both layouts (tiny tensor)
+        di = jnp.swapaxes(di, 1, 2)
 
     s_pad = _round_up(s, max(block_q, block_k))
     if s_pad != s:
-        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        pad = [(0, 0)] * 4
+        pad[s_axis] = (0, s_pad - s)
         q, k, v, do = (jnp.pad(x, pad) for x in (q, k, v, do))
-        m = jnp.pad(m, pad[:3] + [(0, 0)])
-        l = jnp.pad(l, pad[:3] + [(0, 0)])
-        di = jnp.pad(di, pad[:3] + [(0, 0)])
+        stat_pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        m = jnp.pad(m, stat_pad)
+        l = jnp.pad(l, stat_pad)
+        di = jnp.pad(di, stat_pad)
         if use_rope:
             cos = jnp.pad(cos, [(0, s_pad - s), (0, 0)])
             sin = jnp.pad(sin, [(0, s_pad - s), (0, 0)])
     num_q = s_pad // block_q
     num_kv = s_pad // block_k
+    if bshd:
+        # view as [B, S, H*D]; BlockSpecs slice head strips (see _flash_fwd)
+        q, k, v, do = (x.reshape(b, s_pad, h * d) for x in (q, k, v, do))
 
     # stats tiles are loaded [block_q, LANES]; broadcast the single column
     stats = [
         jnp.broadcast_to(x, x.shape[:3] + (LANES,)) for x in (m, l, di)
     ]
 
-    def q_spec(bq):
-        return pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0))
-
-    def kv_spec(bk):
-        return pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, i, 0))
-
-    if use_rope:
-        rq = lambda bq: pl.BlockSpec((bq, d), lambda b, h, i, j: (i, 0))
-        rk = lambda bk: pl.BlockSpec((bk, d), lambda b, h, i, j: (i, 0))
-    else:
-        rq = rk = lambda _: pl.BlockSpec(memory_space=pltpu.VMEM)
     dummy = jnp.zeros((8, d), jnp.float32)
     rope_args = (cos, sin, cos, sin) if use_rope else (dummy,) * 4
+
+    def _qkv_spec(bs, to_block):
+        """Spec for a q/k/v/do/dq/dk/dv tensor tile of bs rows; ``to_block``
+        maps grid ids to the sequence-block index."""
+        if bshd:
+            return pl.BlockSpec(
+                (1, bs, d), lambda b, h, i, j: (b, to_block(i, j), h)
+            )
+        return pl.BlockSpec(
+            (1, 1, bs, d), lambda b, h, i, j: (b, h, to_block(i, j), 0)
+        )
+
+    def _qkv_struct():
+        shape = (b, s_pad, h * d) if bshd else (b, h, s_pad, d)
+        return jax.ShapeDtypeStruct(shape, q.dtype)
 
     common = dict(
         scale=scale, mode=mode, use_rope=use_rope, cond_start=cond_start,
         seq_len=s, block_q=block_q, block_k=block_k, padded=(s_pad != s),
+        bshd=bshd,
     )
 
     # ---- dKV pass: grid (b, h, kv, q) — q innermost accumulation ----
     dkv_kernel = functools.partial(_bwd_dkv_kernel, num_q=num_q, **common)
-    qi_spec = pl.BlockSpec((1, 1, block_q, d), lambda b, h, ki, qi: (b, h, qi, 0))
-    ki_spec = pl.BlockSpec((1, 1, block_k, d), lambda b, h, ki, qi: (b, h, ki, 0))
+    qi_spec = _qkv_spec(block_q, lambda ki, qi: qi)
+    ki_spec = _qkv_spec(block_k, lambda ki, qi: ki)
     stat_q = pl.BlockSpec(
         (1, 1, block_q, LANES), lambda b, h, ki, qi: (b, h, qi, 0)
     )
@@ -542,13 +615,10 @@ def _flash_bwd_pallas(
         in_specs=[qi_spec, ki_spec, ki_spec, qi_spec, stat_q, stat_q, stat_q,
                   rope_q, rope_q, rope_k, rope_k],
         out_specs=(
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ki, qi: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, ki, qi: (b, h, ki, 0)),
+            _qkv_spec(block_k, lambda ki, qi: ki),
+            _qkv_spec(block_k, lambda ki, qi: ki),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
-        ),
+        out_shape=(_qkv_struct(), _qkv_struct()),
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -562,8 +632,8 @@ def _flash_bwd_pallas(
 
     # ---- dQ pass: grid (b, h, q, kv) — kv innermost accumulation ----
     dq_kernel = functools.partial(_bwd_dq_kernel, num_kv=num_kv, **common)
-    qi_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0))
-    ki_spec2 = pl.BlockSpec((1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0))
+    qi_spec2 = _qkv_spec(block_q, lambda qi, ki: qi)
+    ki_spec2 = _qkv_spec(block_k, lambda qi, ki: ki)
     stat_q2 = pl.BlockSpec(
         (1, 1, block_q, LANES), lambda b, h, qi, ki: (b, h, qi, 0)
     )
@@ -580,10 +650,8 @@ def _flash_bwd_pallas(
         grid=(b, h, num_q, num_kv),
         in_specs=[qi_spec2, ki_spec2, ki_spec2, qi_spec2, stat_q2, stat_q2,
                   stat_q2, rope_q2, rope_q2, rope_k2, rope_k2],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+        out_specs=_qkv_spec(block_q, lambda qi, ki: qi),
+        out_shape=_qkv_struct(),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -592,6 +660,10 @@ def _flash_bwd_pallas(
         interpret=interpret,
     )(q, k, v, do, *stats, *rope_args)
 
+    if bshd:
+        return tuple(
+            g.reshape(b, s_pad, h, d)[:, :s] for g in (dq, dk, dv)
+        )
     return dq[:, :, :s], dk[:, :, :s], dv[:, :, :s]
 
 
@@ -614,23 +686,24 @@ def _bias_for(s_q: int, cond_start: int, mode: str, cbias: jnp.ndarray):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
 )
 def _flash_attention(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                     block_k, use_rope, interpret):
+                     block_k, use_rope, interpret, bshd):
     return _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                      block_k, use_rope, interpret)
+                      block_k, use_rope, interpret, bshd=bshd)
 
 
 def _flash_attention_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                         block_k, use_rope, interpret):
+                         block_k, use_rope, interpret, bshd):
     if mode == "cfactor":
         # cbias needs a gradient — XLA recompute backward keeps it exact
         o = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                       block_k, use_rope, interpret)
+                       block_k, use_rope, interpret, bshd=bshd)
         return o, (q, k, v, cbias, cos, sin, None, None, None)
     o, m, l = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                         block_k, use_rope, interpret, save_residuals=True)
+                         block_k, use_rope, interpret, save_residuals=True,
+                         bshd=bshd)
     return o, (q, k, v, cbias, cos, sin, o, m, l)
 
 
@@ -655,7 +728,7 @@ def _xla_rope_bwd(g, cos, sin):
 
 
 def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
-                         interpret, residuals, do):
+                         interpret, bshd, residuals, do):
     """Backward pass.
 
     Mask modes (union / no_union / independent) use the Pallas dKV + dQ
@@ -666,15 +739,26 @@ def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
     if mode != "cfactor":
         # backward kernels carry two [bq, bk] fp32 temporaries — use their
         # own (smaller) block policy regardless of the forward's
-        bq_bwd, bk_bwd = _auto_blocks(q.shape[2], MAX_BLOCK_BWD)
+        bq_bwd, bk_bwd = _auto_blocks(q.shape[1 if bshd else 2], MAX_BLOCK_BWD)
         dq, dk, dv = _flash_bwd_pallas(
             q, k, v, cos, sin, o, m, l, do, cond_start, mode,
             min(block_q, bq_bwd), min(block_k, bk_bwd), use_rope, interpret,
+            bshd=bshd,
         )
         return (
             dq, dk, dv, jnp.zeros((1, 1), jnp.float32),
             jnp.zeros_like(cos), jnp.zeros_like(sin),
         )
+    if bshd:
+        # cfactor backward is the XLA recompute path — swap to [B,H,S,D],
+        # recurse, swap the grads back (inference-only mode; simplicity wins)
+        t = functools.partial(jnp.swapaxes, axis1=1, axis2=2)
+        outs = _flash_attention_bwd(
+            cond_start, mode, block_q, block_k, use_rope, interpret, False,
+            (t(q), t(k), t(v), cbias, cos, sin, None, None, None), t(do),
+        )
+        dq, dk, dv, dcbias, dcos, dsin = outs
+        return t(dq), t(dk), t(dv), dcbias, dcos, dsin
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
     qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
@@ -722,15 +806,25 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    layout: str = "bhsd",
 ) -> jnp.ndarray:
-    """Flash attention over [B, H, S, D] with condition block semantics.
+    """Flash attention with condition block semantics.
 
+    ``layout`` selects the q/k/v/output memory layout: "bhsd" = [B, H, S, D]
+    (classic), "bshd" = [B, S, H, D] (heads-last — the projection output
+    layout; the kernel head-slices tiles directly via its BlockSpecs, so the
+    caller never pays an HBM transpose to/from head-major).
     ``cond_start`` is the first condition-token index (== S when no condition
     stream).  ``rope`` = (cos, sin) tables [S, D] fuses the rotary embedding
     of q/k into the kernel (interleaved-pair convention, as ops/rope.py).
     Block sizes default to the measured-optimal `auto_blocks` policy.
     """
-    b, h, s, d = q.shape
+    if layout == "bhsd":
+        b, h, s, d = q.shape
+    elif layout == "bshd":
+        b, s, h, d = q.shape
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     abq, abk = auto_blocks(s)
@@ -752,5 +846,5 @@ def flash_attention(
         cos = sin = jnp.zeros((8, d), jnp.float32)
     return _flash_attention(
         q, k, v, cbias, cos, sin, cond_start, mode, block_q, block_k,
-        use_rope, interpret,
+        use_rope, interpret, layout == "bshd",
     )

@@ -33,18 +33,22 @@ def tp_flash_attention(
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     axis: str = "tensor",
     interpret: Optional[bool] = None,
+    layout: str = "bhsd",
 ) -> jnp.ndarray:
-    """q/k/v: [B, H, S, D] with H sharded over ``axis``.  Output sharded the
-    same way."""
+    """q/k/v: [B, H, S, D] ("bhsd") or [B, S, H, D] ("bshd") with H sharded
+    over ``axis``.  Output sharded the same way."""
     from loongx_tpu.ops.flash_attention import flash_attention
 
-    head_sharding = P(None, axis, None, None)
+    head_sharding = (
+        P(None, None, axis, None) if layout == "bshd"
+        else P(None, axis, None, None)
+    )
 
     def local_attn(q_l, k_l, v_l, cf, rope_cos, rope_sin):
         rp = None if rope_cos is None else (rope_cos, rope_sin)
         return flash_attention(
             q_l, k_l, v_l, cond_start=cond_start, mode=mode, c_factor=cf,
-            rope=rp, interpret=interpret,
+            rope=rp, interpret=interpret, layout=layout,
         )
 
     cf = c_factor

@@ -177,3 +177,113 @@ def test_flash_long_seq_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# Heads-last ("bshd") layout: the kernel head-slices [B, S, H, D] tiles via
+# its BlockSpecs, so the model never pays an HBM transpose around attention.
+# Every mode and the backward kernels must agree with the classic layout.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["union", "no_union", "independent"])
+def test_bshd_layout_matches_bhsd(mode):
+    q, k, v = make_qkv(jax.random.key(7), b=2, h=3, s=256, d=64)
+    cond_len = 64
+    out_ref = flash_attention(
+        q, k, v, cond_start=256 - cond_len, mode=mode, block_q=128,
+        block_k=128,
+    )
+    t = lambda x: jnp.swapaxes(x, 1, 2)  # -> [B, S, H, D]
+    out_bshd = flash_attention(
+        t(q), t(k), t(v), cond_start=256 - cond_len, mode=mode, block_q=128,
+        block_k=128, layout="bshd",
+    )
+    assert out_bshd.shape == (2, 256, 3, 64)
+    np.testing.assert_allclose(
+        np.asarray(t(out_bshd)), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_bshd_layout_rope_and_padding():
+    """bshd + fused RoPE + S not a block multiple (padded path)."""
+    from loongx_tpu.ops.rope import rope_embed
+
+    q, k, v = make_qkv(jax.random.key(8), b=1, h=2, s=192, d=32)
+    ids = jnp.stack(
+        [jnp.zeros((192,)), jnp.arange(192.0), jnp.arange(192.0) * 2], axis=1
+    )
+    rope = rope_embed(ids, axes_dim=(8, 12, 12))
+    out_ref = flash_attention(
+        q, k, v, cond_start=128, mode="no_union", rope=rope, block_q=128,
+        block_k=128,
+    )
+    t = lambda x: jnp.swapaxes(x, 1, 2)
+    out_bshd = flash_attention(
+        t(q), t(k), t(v), cond_start=128, mode="no_union", rope=rope,
+        block_q=128, block_k=128, layout="bshd",
+    )
+    np.testing.assert_allclose(
+        np.asarray(t(out_bshd)), np.asarray(out_ref), atol=2e-5, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("mode", ["union", "no_union", "independent"])
+def test_bshd_backward_matches_bhsd(mode):
+    """Pallas dQ/dKV kernels in the bshd layout equal the bhsd ones."""
+    q, k, v = make_qkv(jax.random.key(9), b=1, h=2, s=256, d=32)
+    t = lambda x: jnp.swapaxes(x, 1, 2)
+
+    def loss_bhsd(q, k, v):
+        o = flash_attention(q, k, v, cond_start=192, mode=mode, block_q=128,
+                            block_k=128)
+        return jnp.sum(jnp.sin(o.astype(jnp.float32)))
+
+    def loss_bshd(q, k, v):
+        o = flash_attention(t(q), t(k), t(v), cond_start=192, mode=mode,
+                            block_q=128, block_k=128, layout="bshd")
+        return jnp.sum(jnp.sin(t(o).astype(jnp.float32)))
+
+    g_ref = jax.grad(loss_bhsd, argnums=(0, 1, 2))(q, k, v)
+    g_bshd = jax.grad(loss_bshd, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_bshd, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)
+
+
+def test_bshd_cfactor_grad():
+    """cfactor (XLA-recompute backward) in bshd: grads match bhsd."""
+    q, k, v = make_qkv(jax.random.key(10), b=1, h=2, s=128, d=32)
+    cf = jnp.float32(0.7)
+    t = lambda x: jnp.swapaxes(x, 1, 2)
+
+    def loss_bhsd(q):
+        o = flash_attention(q, k, v, cond_start=96, c_factor=cf, block_q=128,
+                            block_k=128)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_bshd(q):
+        o = flash_attention(t(q), t(k), t(v), cond_start=96, c_factor=cf,
+                            block_q=128, block_k=128, layout="bshd")
+        return jnp.sum(t(o).astype(jnp.float32) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_bshd)(q)), np.asarray(jax.grad(loss_bhsd)(q)),
+        atol=1e-4, rtol=1e-3,
+    )
+
+
+def test_unified_attention_bshd_layout():
+    """unified_attention round-trips the bshd layout on both backends."""
+    q, k, v = make_qkv(jax.random.key(11), b=1, h=2, s=128, d=32)
+    t = lambda x: jnp.swapaxes(x, 1, 2)
+    ref = unified_attention(q, k, v, cond_len=32, mode="no_union",
+                            backend="xla")
+    for backend in ("xla", "pallas"):
+        out = unified_attention(
+            t(q), t(k), t(v), cond_len=32, mode="no_union", backend=backend,
+            layout="bshd",
+        )
+        np.testing.assert_allclose(
+            np.asarray(t(out)), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
