@@ -263,6 +263,42 @@ def linear(
     return y.astype(x.dtype)
 
 
+def linear_gelu(
+    p: Params,
+    x: jnp.ndarray,
+    use_lora: bool = True,
+    lora_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """gelu_tanh(linear(p, x)) with the bias + activation fused into the
+    quant-matmul store epilogue on the int8 serving path (ops/quant_matmul
+    `quant_linear_gelu`) — saves a full HBM round-trip over the 4x-wide ff
+    hidden per block.  Falls back to the composed form whenever the fused
+    kernel can't represent the computation (bf16 weights, an active LoRA
+    delta that must be added pre-activation, TP-sharded N axis, non-TPU)."""
+    if "kernel_q" in p:
+        from loongx_tpu.parallel.mesh import current_tp
+
+        if (
+            jax.default_backend() == "tpu"
+            and p["kernel_q"].ndim == 2
+            and current_tp() is None
+            and not (use_lora and "lora_a" in p)
+        ):
+            from loongx_tpu.ops.quant_matmul import quant_linear_gelu
+
+            lead = x.shape[:-1]
+            n = p["kernel_q"].shape[-1]
+            bias = (
+                p["bias"].astype(jnp.float32).reshape(1, -1)
+                if "bias" in p else jnp.zeros((1, n), jnp.float32)
+            )
+            return quant_linear_gelu(
+                x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
+                p["kernel_q"], p["kernel_scale"].reshape(1, -1), bias,
+            ).reshape(*lead, -1).astype(x.dtype)
+    return gelu_tanh(linear(p, x, use_lora, lora_mask))
+
+
 # ---------------------------------------------------------------------------
 # Embeddings
 # ---------------------------------------------------------------------------
@@ -506,7 +542,7 @@ def double_block_forward(
         n2[:, :s_img], n2[:, s_img:] if use_cond else None,
         1.0 + mi[4], mi[3], (1.0 + mc[4]) if use_cond else None, mc[3],
     )
-    h = gelu_tanh(linear(block["ff"]["in"], m_lat, use_lora=False))
+    h = linear_gelu(block["ff"]["in"], m_lat, use_lora=False)
     h = linear(block["ff"]["out"], h, use_lora=luse, lora_mask=lmask)
     lat = lat + _seg_affine(
         h[:, :s_img], h[:, s_img:] if use_cond else None,
@@ -514,7 +550,7 @@ def double_block_forward(
     )
 
     n2t = layer_norm(txt) * (1.0 + mt[4][:, None, :]) + mt[3][:, None, :]
-    ht = gelu_tanh(linear(block["ff_context"]["in"], n2t, use_lora=False))
+    ht = linear_gelu(block["ff_context"]["in"], n2t, use_lora=False)
     ht = linear(block["ff_context"]["out"], ht, use_lora=False)
     txt = txt + mt[5][:, None, :] * ht
 
@@ -555,9 +591,8 @@ def single_block_forward(
         normed[:, :s_x], normed[:, s_x:] if use_cond else None,
         1.0 + mx[1], mx[0], (1.0 + mc[1]) if use_cond else None, mc[0],
     )
-    mlp_h = gelu_tanh(
-        linear(block["proj_mlp"], n_full, use_lora=luse, lora_mask=lmask)
-    )
+    mlp_h = linear_gelu(block["proj_mlp"], n_full, use_lora=luse,
+                        lora_mask=lmask)
 
     attn = block["attn"]
     q, k, v = _qkv(attn, n_full, nh, "to", use_lora=luse, lora_mask=lmask)

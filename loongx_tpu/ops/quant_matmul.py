@@ -36,7 +36,23 @@ def use_w8a8() -> bool:
     return os.environ.get("LOONGX_W8A8", "0") == "1"
 
 
-def _qmm_kernel(x_ref, wq_ref, scale_ref, o_ref, acc_ref, *, num_k):
+def _epilogue(acc, scale_ref, bias_ref, activation):
+    """Shared store epilogue: per-channel rescale, optional bias, optional
+    fused activation (all fp32, in VMEM) — fusing the activation here saves
+    a full HBM round-trip over the matmul output (the 4x-wide ff hidden is
+    the single largest elementwise tensor in a FLUX block)."""
+    z = acc * scale_ref[...]
+    if bias_ref is not None:
+        z = z + bias_ref[...]
+    if activation == "gelu_tanh":
+        z = jax.nn.gelu(z, approximate=True)
+    elif activation is not None:
+        raise ValueError(f"unknown fused activation {activation!r}")
+    return z
+
+
+def _qmm_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None):
+    bias_ref, o_ref, acc_ref = refs if len(refs) == 3 else (None, *refs)
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -50,11 +66,14 @@ def _qmm_kernel(x_ref, wq_ref, scale_ref, o_ref, acc_ref, *, num_k):
 
     @pl.when(ki == num_k - 1)
     def _store():
-        o_ref[...] = (acc_ref[...] * scale_ref[...]).astype(o_ref.dtype)
+        o_ref[...] = _epilogue(
+            acc_ref[...], scale_ref, bias_ref, activation
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "interpret", "activation"),
 )
 def quant_matmul(
     x: jnp.ndarray,          # [M, K] bf16/fp32
@@ -64,6 +83,8 @@ def quant_matmul(
     block_n: int = 1024,
     block_k: int = 1536,
     interpret: Optional[bool] = None,
+    bias: Optional[jnp.ndarray] = None,       # [1, N] fp32
+    activation: Optional[str] = None,         # fused epilogue ("gelu_tanh")
 ) -> jnp.ndarray:
     # Default tiles from a v5e sweep at FLUX shapes (M=2560, K/N in
     # {3072, 12288, 15360}): (512, 1024, 1536) reaches 144-180 TF/s —
@@ -92,21 +113,33 @@ def quant_matmul(
         w_q = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))
     if n_pad != n:
         scale = jnp.pad(scale, ((0, 0), (0, n_pad - n)))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, n_pad - n)))
 
+    vec_spec = pl.BlockSpec((1, block_n), lambda i, j, ki: (0, j))
+    extra_specs, extra_args = [], []
+    if bias is not None:
+        extra_specs, extra_args = [vec_spec], [bias.astype(jnp.float32)]
     num_k = k_pad // block_k
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, num_k=num_k),
+        functools.partial(_qmm_kernel, num_k=num_k, activation=activation),
         grid=(m_pad // block_m, n_pad // block_n, num_k),
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, ki: (i, ki)),
             pl.BlockSpec((block_k, block_n), lambda i, j, ki: (ki, j)),
-            pl.BlockSpec((1, block_n), lambda i, j, ki: (0, j)),
+            vec_spec,
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ki: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # default scoped-VMEM budget (~22 MB) is within 1 MB of the
+            # wide-N ff tiles' double-buffered working set; the fused bias
+            # input tipped it over -> give the kernel the same generous
+            # budget as the flash kernels
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k_pad * n_pad,
@@ -114,7 +147,7 @@ def quant_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w_q, scale.astype(jnp.float32))
+    )(x, w_q, scale.astype(jnp.float32), *extra_args)
     return out[:m, :n]
 
 
@@ -192,6 +225,11 @@ def quant_matmul_t(
         scratch_shapes=[pltpu.VMEM((block_m, block_k), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # default scoped-VMEM budget (~22 MB) is within 1 MB of the
+            # wide-N ff tiles' double-buffered working set; the fused bias
+            # input tipped it over -> give the kernel the same generous
+            # budget as the flash kernels
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k_pad * n_pad,
@@ -236,13 +274,14 @@ quant_matmul_vjp.defvjp(_qmm_fwd, _qmm_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _qmm_w8a8_kernel(x_ref, wq_ref, scale_ref, o_ref, acc_ref, *, num_k):
+def _qmm_w8a8_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None):
     """Per (row, k-tile) dynamic activation quantization fused into the
     matmul: the bf16 x tile is quantized to int8 in VMEM, the MXU runs a
     native s8 x s8 -> s32 dot (2x the bf16 MXU rate on v5e), and each
     k-tile's contribution is rescaled into an fp32 accumulator.  Group-wise
     (per-row-per-k-tile) activation scales are *finer* than whole-row W8A8,
     so quantization error stays below weight-only int8 + bf16 rounding."""
+    bias_ref, o_ref, acc_ref = refs if len(refs) == 3 else (None, *refs)
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -260,11 +299,14 @@ def _qmm_w8a8_kernel(x_ref, wq_ref, scale_ref, o_ref, acc_ref, *, num_k):
 
     @pl.when(ki == num_k - 1)
     def _store():
-        o_ref[...] = (acc_ref[...] * scale_ref[...]).astype(o_ref.dtype)
+        o_ref[...] = _epilogue(
+            acc_ref[...], scale_ref, bias_ref, activation
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "interpret", "activation"),
 )
 def quant_matmul_w8a8(
     x: jnp.ndarray,          # [M, K] bf16/fp32
@@ -274,6 +316,8 @@ def quant_matmul_w8a8(
     block_n: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    bias: Optional[jnp.ndarray] = None,       # [1, N] fp32
+    activation: Optional[str] = None,         # fused epilogue ("gelu_tanh")
 ) -> jnp.ndarray:
     """y = (dyn-int8(x) @ w_q) * x_scale * scale using the int8 MXU path.
 
@@ -304,21 +348,33 @@ def quant_matmul_w8a8(
         w_q = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))
     if n_pad != n:
         scale = jnp.pad(scale, ((0, 0), (0, n_pad - n)))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, n_pad - n)))
 
+    vec_spec = pl.BlockSpec((1, block_n), lambda i, j, ki: (0, j))
+    extra_specs, extra_args = [], []
+    if bias is not None:
+        extra_specs, extra_args = [vec_spec], [bias.astype(jnp.float32)]
     num_k = k_pad // block_k
     out = pl.pallas_call(
-        functools.partial(_qmm_w8a8_kernel, num_k=num_k),
+        functools.partial(_qmm_w8a8_kernel, num_k=num_k, activation=activation),
         grid=(m_pad // block_m, n_pad // block_n, num_k),
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, ki: (i, ki)),
             pl.BlockSpec((block_k, block_n), lambda i, j, ki: (ki, j)),
-            pl.BlockSpec((1, block_n), lambda i, j, ki: (0, j)),
+            vec_spec,
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ki: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # default scoped-VMEM budget (~22 MB) is within 1 MB of the
+            # wide-N ff tiles' double-buffered working set; the fused bias
+            # input tipped it over -> give the kernel the same generous
+            # budget as the flash kernels
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k_pad * n_pad,
@@ -326,7 +382,7 @@ def quant_matmul_w8a8(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w_q, scale.astype(jnp.float32))
+    )(x, w_q, scale.astype(jnp.float32), *extra_args)
     return out[:m, :n]
 
 
@@ -344,6 +400,48 @@ def _qmm_w8a8_fwd(x, w_q, scale):
 
 
 quant_matmul_w8a8_vjp.defvjp(_qmm_w8a8_fwd, _qmm_bwd)
+
+
+@jax.custom_vjp
+def quant_linear_gelu(x, w_q, scale, bias):
+    """gelu_tanh((x @ w_q) * scale + bias) with the bias + activation fused
+    into the quant-matmul store epilogue — the matmul output (the 4x-wide ff
+    hidden, the largest elementwise tensor in a FLUX block) never makes an
+    extra HBM round-trip through a separate gelu fusion.
+
+    Differentiable wrt x: the backward recomputes the pre-activation z with
+    one extra kernel call — under the training path's remat policy the
+    forward is recomputed anyway, so this costs nothing new; at inference the
+    backward never runs and the fusion is a pure win.  bias: [1, N] fp32.
+    """
+    qmm = quant_matmul_w8a8 if use_w8a8() else quant_matmul
+    return qmm(x, w_q, scale, bias=bias, activation="gelu_tanh")
+
+
+def _qlg_fwd(x, w_q, scale, bias):
+    return quant_linear_gelu(x, w_q, scale, bias), (x, w_q, scale, bias)
+
+
+def _qlg_bwd(res, dy):
+    import numpy as np
+
+    x, w_q, scale, bias = res
+    qmm = quant_matmul_w8a8 if use_w8a8() else quant_matmul
+    z = qmm(x, w_q, scale, bias=bias)  # recompute pre-activation
+    _, act_vjp = jax.vjp(
+        lambda t: jax.nn.gelu(t.astype(jnp.float32), approximate=True), z
+    )
+    (dz,) = act_vjp(dy.astype(jnp.float32))
+    dx = quant_matmul_t(dz.astype(dy.dtype), w_q, scale)
+    return (
+        dx,
+        np.zeros(w_q.shape, jax.dtypes.float0),
+        jnp.zeros_like(scale),
+        jnp.zeros_like(bias),
+    )
+
+
+quant_linear_gelu.defvjp(_qlg_fwd, _qlg_bwd)
 
 
 def quant_linear_apply(p, x: jnp.ndarray) -> jnp.ndarray:

@@ -215,3 +215,80 @@ def test_quantized_lora_train_step_runs():
                         jax.tree.leaves(state2.trainable))
     )
     assert delta > 0
+
+
+def test_fused_bias_gelu_epilogue_matches_composed():
+    """bias + gelu fused into the kernel store == composed XLA ops, for both
+    the weight-only and W8A8 kernels."""
+    from loongx_tpu.ops.quant_matmul import quant_matmul, quant_matmul_w8a8
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 96)), jnp.float32)
+    w_q = jnp.asarray(rng.integers(-127, 128, (96, 128)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.01, 0.03, (1, 128)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+
+    for qmm, tol in ((quant_matmul, 2e-2), (quant_matmul_w8a8, 5e-2)):
+        base = qmm(x, w_q, scale)
+        composed = jax.nn.gelu(
+            base.astype(jnp.float32) + bias, approximate=True
+        )
+        fused = qmm(x, w_q, scale, bias=bias, activation="gelu_tanh")
+        np.testing.assert_allclose(
+            np.asarray(fused, np.float32), np.asarray(composed, np.float32),
+            atol=tol, rtol=tol,
+        )
+
+
+def test_quant_linear_gelu_grad_matches_composed():
+    """The recompute backward of the fused gelu matmul == grad of the
+    composed form (bf16 store tolerance)."""
+    from loongx_tpu.ops.quant_matmul import (
+        quant_linear_gelu, quant_matmul_vjp,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+    w_q = jnp.asarray(rng.integers(-127, 128, (64, 128)), jnp.int8)
+    # keep pre-activations O(1): bf16 kernel stores carry ~0.4% relative
+    # noise, which a quadratic loss amplifies at large |z|
+    scale = jnp.asarray(rng.uniform(0.001, 0.003, (1, 128)), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal((1, 128)), jnp.float32)
+
+    def loss_fused(x):
+        return jnp.sum(quant_linear_gelu(x, w_q, scale, bias) ** 2)
+
+    def loss_composed(x):
+        z = quant_matmul_vjp(x, w_q, scale).astype(jnp.float32) + bias
+        return jnp.sum(jax.nn.gelu(z, approximate=True) ** 2)
+
+    g_f = jax.grad(loss_fused)(x)
+    g_c = jax.grad(loss_composed)(x)
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_c), atol=0.06, rtol=0.05
+    )
+
+
+def test_linear_gelu_falls_back_with_lora():
+    """An active LoRA delta must be added pre-activation -> the fused kernel
+    is skipped and the composed path runs."""
+    from loongx_tpu.models.flux.model import linear_gelu
+    from loongx_tpu.ops.nn import gelu_tanh
+
+    rng = np.random.default_rng(2)
+    p = {
+        "kernel_q": jnp.asarray(rng.integers(-127, 128, (32, 64)), jnp.int8),
+        "kernel_scale": jnp.asarray(rng.uniform(0.01, 0.03, (64,)), jnp.float32),
+        "bias": jnp.zeros((64,), jnp.float32),
+        "lora_a": jnp.asarray(rng.standard_normal((32, 2)) * 0.1, jnp.float32),
+        "lora_b": jnp.asarray(rng.standard_normal((2, 64)) * 0.1, jnp.float32),
+        "lora_scale": jnp.float32(1.0),
+    }
+    x = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+    from loongx_tpu.models.flux.model import linear
+
+    expected = gelu_tanh(linear(p, x, use_lora=True))
+    got = linear_gelu(p, x, use_lora=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-5
+    )
