@@ -35,6 +35,18 @@ def _force(x):
     return float(jnp.asarray(x).mean())
 
 
+def _measure(fn, arg):
+    """Warmup/compile once, then mean seconds per call over BENCH_ITERS —
+    the single timing methodology for the main path and the lite fallback."""
+    _force(fn(arg))
+    n = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    outs = [fn(arg) for _ in range(n)]
+    for o in outs:
+        _force(o)
+    return (time.perf_counter() - t0) / n
+
+
 def main():
     from loongx_tpu.models.flux.model import FluxConfig, init_flux_params
     from loongx_tpu.models.flux.vae import (
@@ -120,13 +132,7 @@ def main():
     # --- stage: compile + measure the edit loop ---------------------------
     dt = None
     try:
-        _force(edit(latents))  # warmup / compile
-        n = int(os.environ.get("BENCH_ITERS", "3"))
-        t0 = time.perf_counter()
-        outs = [edit(latents) for _ in range(n)]
-        for o in outs:
-            _force(o)
-        dt = (time.perf_counter() - t0) / n
+        dt = _measure(edit, latents)
     except Exception:  # noqa: BLE001
         errors.append(
             "edit: " + traceback.format_exc(limit=3).strip().splitlines()[-1]
@@ -146,13 +152,7 @@ def main():
                 )
                 return decode(vae_params, out) if decode is not None else out
 
-            _force(lite_edit(latents))
-            n = int(os.environ.get("BENCH_ITERS", "3"))
-            t0 = time.perf_counter()
-            outs = [lite_edit(latents) for _ in range(n)]
-            for o in outs:
-                _force(o)
-            dt = (time.perf_counter() - t0) / n
+            dt = _measure(lite_edit, latents)
             full = False
             w8a8 = False  # the lite fallback runs plain bf16 weights
             flux_params = lparams

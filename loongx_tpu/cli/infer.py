@@ -206,6 +206,18 @@ def _attach_lora(pipeline, path: str, name=None):
 
     tree = _load_lora_tree(pipeline, path)
     if name is None:
+        def _quantized(t):
+            return isinstance(t, dict) and (
+                "kernel_q" in t or any(_quantized(v) for v in t.values())
+            )
+
+        if _quantized(tree):
+            # int8 base: merging would requantize the folded weights (lossy)
+            # and merge_lora refuses; keep the deltas live — linear() applies
+            # them on top of the quant matmul exactly (QLoRA-style serving)
+            pipeline.params["flux"] = tree
+            print(f"[infer] int8 base: serving LoRA {path} as live deltas")
+            return
         pipeline.params["flux"] = merge_lora(tree)
         return
     from loongx_tpu.train.adapters import AdapterRegistry

@@ -200,6 +200,21 @@ def init_flux_params(
 # ---------------------------------------------------------------------------
 
 
+def _use_pallas_qmm(p: Params) -> bool:
+    """Route an int8-quantized linear through the Pallas quant-matmul kernel?
+    Requires TPU, an unstacked [K, N] weight, and no tensor parallelism:
+    under TP, SPMD cannot partition a pallas_call over the sharded N axis —
+    the XLA dequant path shards cleanly (per-shard bf16 transients are
+    N/tp-sized).  Single source of truth for `linear` and `linear_gelu`."""
+    from loongx_tpu.parallel.mesh import current_tp
+
+    return (
+        jax.default_backend() == "tpu"
+        and p["kernel_q"].ndim == 2
+        and current_tp() is None
+    )
+
+
 def linear(
     p: Params,
     x: jnp.ndarray,
@@ -216,16 +231,7 @@ def linear(
     one matmul.
     """
     if "kernel_q" in p:  # int8 weight-only quantized (ops/quant.py)
-        from loongx_tpu.parallel.mesh import current_tp
-
-        if (
-            jax.default_backend() == "tpu"
-            and p["kernel_q"].ndim == 2
-            # under tensor parallelism, SPMD cannot partition a pallas_call
-            # over the sharded N axis — the XLA dequant path below shards
-            # cleanly (per-shard bf16 transients are N/tp-sized)
-            and current_tp() is None
-        ):
+        if _use_pallas_qmm(p):
             # tile-dequant Pallas matmul: int8 HBM reads, no bf16 weight
             # copy; differentiable wrt activations (custom_vjp transposed
             # kernel) so LoRA trains against a frozen int8 base (QLoRA);
@@ -276,14 +282,7 @@ def linear_gelu(
     kernel can't represent the computation (bf16 weights, an active LoRA
     delta that must be added pre-activation, TP-sharded N axis, non-TPU)."""
     if "kernel_q" in p:
-        from loongx_tpu.parallel.mesh import current_tp
-
-        if (
-            jax.default_backend() == "tpu"
-            and p["kernel_q"].ndim == 2
-            and current_tp() is None
-            and not (use_lora and "lora_a" in p)
-        ):
+        if _use_pallas_qmm(p) and not (use_lora and "lora_a" in p):
             from loongx_tpu.ops.quant_matmul import quant_linear_gelu
 
             lead = x.shape[:-1]

@@ -179,10 +179,16 @@ def generate(
     k_lat, k_enc = jax.random.split(key)
 
     # ---- text embeddings ----
+    text_zeroed = False
     if prompt_embeds is None:
         # neural_only must be an explicit opt-in (it zeroes missing-tokenizer
         # text embeds) and is only coherent when brain embeds replace them
         neural_only = neural_only and use_brain_condition and not fuse_flag
+        # encode_text only zeroes the embeds when the tokenizers are absent;
+        # with tokenizers loaded, real text embeds back any missing brain slot
+        text_zeroed = neural_only and (
+            pipeline.t5_tokenizer is None or pipeline.clip_tokenizer is None
+        )
         prompt_embeds, pooled_prompt_embeds, txt_ids = pipeline.encode_text(
             prompt, neural_only=neural_only
         )
@@ -211,9 +217,10 @@ def generate(
                 txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
             if brain_pooled is not None:
                 pooled_prompt_embeds = brain_pooled.astype(pipeline.dtype)
-            if neural_only and (brain_prompt is None or brain_pooled is None):
-                # neural_only zeroed the text embeds; a slot the brain
-                # signals cannot fill would silently denoise on zeros
+            if text_zeroed and (brain_prompt is None or brain_pooled is None):
+                # neural_only actually zeroed the text embeds (tokenizers
+                # absent); a slot the brain signals cannot fill would
+                # silently denoise on zeros
                 missing = [
                     n for n, v in (("prompt (EEG)", brain_prompt),
                                    ("pooled (fNIRS)", brain_pooled))

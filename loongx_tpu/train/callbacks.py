@@ -29,8 +29,10 @@ class TrainingCallback:
         use_wandb: bool = False,
         wandb_config: Optional[Dict[str, Any]] = None,
         sample_fn: Optional[Callable[[int], Any]] = None,
+        frozen: Optional[Dict[str, Any]] = None,
     ):
         self.run_name = run_name
+        self.frozen = frozen  # complement of state.trainable (for exports)
         self.save_root = os.path.join(save_path, run_name)
         self.save_interval = save_interval
         self.sample_interval = sample_interval
@@ -102,11 +104,17 @@ class TrainingCallback:
         os.makedirs(ckpt_dir, exist_ok=True)
         flux_trainable = state.trainable.get("flux")
         if flux_trainable is not None:
-            # the trainable tree holds the lora leaves (frozen leaves are
-            # None); lora_state_dict only reads lora_a/lora_b, so it works
-            # directly on the masked tree
+            # the masked trainable tree holds lora_a/lora_b but lora_scale is
+            # a frozen (None) leaf — recombine with the frozen tree so the
+            # export carries the real alpha/r scale (lora_state_dict skips
+            # None leaves either way)
+            tree = flux_trainable
+            if self.frozen is not None and "flux" in self.frozen:
+                from loongx_tpu.train.step import combine
+
+                tree = combine(flux_trainable, self.frozen["flux"])
             try:
-                save_lora_safetensors(flux_trainable, ckpt_dir)
+                save_lora_safetensors(tree, ckpt_dir)
             except Exception as exc:
                 print(f"[callbacks] lora export failed: {exc}")
         save_train_checkpoint(

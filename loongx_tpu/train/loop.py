@@ -142,6 +142,7 @@ def train(
         use_wandb=use_wandb if use_wandb is not None else bool(tcfg.wandb),
         wandb_config=tcfg.wandb,
         sample_fn=sample_fn,
+        frozen=frozen,
     )
 
     total = max_steps or tcfg.max_steps

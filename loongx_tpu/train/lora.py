@@ -97,6 +97,15 @@ def merge_lora(params: Params) -> Params:
 
     def merge_tree(tree):
         if isinstance(tree, dict):
+            if "kernel_q" in tree and "lora_a" in tree:
+                # folding a bf16 delta into int8 weights would requantize
+                # (lossy) — serve quantized bases with live deltas instead
+                # (linear() applies them on top of the quant matmul exactly)
+                raise ValueError(
+                    "merge_lora: cannot fold a LoRA delta into an "
+                    "int8-quantized kernel; keep the deltas live (QLoRA "
+                    "serving) or merge before quantize()"
+                )
             if "kernel" in tree and "lora_a" in tree:
                 kernel = tree["kernel"]
                 scale = tree["lora_scale"]
@@ -123,13 +132,17 @@ def merge_lora(params: Params) -> Params:
 def lora_state_dict(params: Params) -> Dict[str, jnp.ndarray]:
     """Flat {path: array} of only the LoRA leaves, INCLUDING lora_scale so a
     trained alpha/r scaling survives the round trip (for checkpointing —
-    equivalent of peft's get_peft_model_state_dict, reference model.py:526-531)."""
+    equivalent of peft's get_peft_model_state_dict, reference model.py:526-531).
+
+    None leaves are skipped: a partitioned *trainable* tree (train/step.py
+    `partition`) holds lora_a/lora_b arrays but lora_scale=None (frozen), and
+    np.asarray(None) would silently serialise a NaN scalar."""
     out = {}
     for path, leaf in _walk_linears(params):
-        if "lora_a" in leaf:
+        if leaf.get("lora_a") is not None:
             out[f"{path}/lora_a"] = leaf["lora_a"]
             out[f"{path}/lora_b"] = leaf["lora_b"]
-            if "lora_scale" in leaf:
+            if leaf.get("lora_scale") is not None:
                 out[f"{path}/lora_scale"] = leaf["lora_scale"]
     return out
 
@@ -142,6 +155,7 @@ def load_lora_state_dict(
     strict_shapes=False allows replacing factors with a different rank
     (adapter switching across ranks — recompiles once downstream)."""
     index = {path: leaf for path, leaf in _walk_linears(params)}
+    scale_paths, factor_paths = set(), {}
     for key, value in state.items():
         path, leaf_name = key.rsplit("/", 1)
         if path not in index:
@@ -150,14 +164,22 @@ def load_lora_state_dict(
         value = jnp.asarray(value)
         if (
             strict_shapes
-            and leaf_name in tgt
+            and tgt.get(leaf_name) is not None
             and tgt[leaf_name].shape != value.shape
         ):
             raise ValueError(
                 f"{key}: shape {value.shape} != expected {tgt[leaf_name].shape}"
             )
         tgt[leaf_name] = value
-        if "lora_scale" not in tgt:
-            stack = value.shape[:-2]
-            tgt["lora_scale"] = jnp.ones(stack, jnp.float32)
+        if leaf_name == "lora_scale":
+            scale_paths.add(path)
+        else:
+            factor_paths[path] = value.shape[:-2]
+    # A state dict without lora_scale entries means "scale 1.0" — reset it
+    # even when the live tree already holds a (possibly deactivate()-zeroed)
+    # scale, otherwise a previously-registered adapter's zeros leak into
+    # this one and it becomes a silent no-op.
+    for path, stack in factor_paths.items():
+        if path not in scale_paths:
+            index[path]["lora_scale"] = jnp.ones(stack, jnp.float32)
     return params

@@ -237,3 +237,69 @@ def test_add_from_params_preserves_trained_scale(pipe):
         if "lora_scale" in leaf
     ]
     assert scales and all(s == 0.5 for s in scales), scales
+
+
+def test_partitioned_trainable_tree_exports_clean_state(pipe):
+    """lora_state_dict on a masked trainable tree (frozen leaves None, as in
+    callbacks.save_checkpoint) must skip None leaves instead of serialising
+    NaN lora_scale scalars (r2 review finding)."""
+    from loongx_tpu.train.step import partition, trainable_mask
+
+    params = {"flux": pipe.params["flux"]}
+    trainable, _ = partition(params, trainable_mask(params))
+    state = lora_state_dict(trainable["flux"])
+    assert state, "expected lora leaves in the trainable tree"
+    assert not any(k.endswith("/lora_scale") for k in state), (
+        "frozen (None) lora_scale must not be exported from a masked tree"
+    )
+    for k, v in state.items():
+        assert v is not None, k
+
+
+def test_second_adapter_from_scaleless_state_is_not_zeroed(pipe):
+    """Registering adapter #2 from a lora_a/lora_b-only file (the format of
+    pre-scale checkpoints) after adapter #1 was deactivated must reset the
+    zeroed lora_scale to 1.0, not capture the zeros (r2 review finding)."""
+    from loongx_tpu.train.lora import load_lora_state_dict
+
+    reg = AdapterRegistry()
+    tree = pipe.params["flux"]
+
+    first = _random_adapter(pipe, 11)
+    reg.add("first", first)
+    tree = reg.deactivate(tree)  # zero the live lora_scale leaves
+
+    scaleless = {
+        k: v for k, v in _random_adapter(pipe, 12).items()
+        if not k.endswith("/lora_scale")
+    }
+    tree = load_lora_state_dict(tree, scaleless, strict_shapes=False)
+    captured = lora_state_dict(tree)
+    reg.add("second", captured)
+
+    tree = reg.activate(tree, "second")
+    scales = [
+        np.asarray(v) for k, v in lora_state_dict(tree).items()
+        if k.endswith("/lora_scale")
+    ]
+    assert scales and all((s == 1.0).all() for s in scales), (
+        "second adapter inherited the deactivated zeros"
+    )
+
+
+def test_merge_lora_refuses_quantized_base(pipe):
+    """merge_lora on an int8-quantized tree must fail loudly, not silently
+    skip the fold (r2 review finding)."""
+    from loongx_tpu.train.lora import merge_lora
+
+    qtree = {
+        "blk": {
+            "kernel_q": jnp.zeros((8, 8), jnp.int8),
+            "kernel_scale": jnp.ones((8,), jnp.float32),
+            "lora_a": jnp.zeros((8, 2), jnp.float32),
+            "lora_b": jnp.zeros((2, 8), jnp.float32),
+            "lora_scale": jnp.ones((), jnp.float32),
+        }
+    }
+    with pytest.raises(ValueError, match="quantized"):
+        merge_lora(qtree)

@@ -195,3 +195,44 @@ class TestPartialBrainReplacement:
                 attn_backend="xla", output_type="latent",
                 eeg=np.zeros((1, 4, 16), np.float32),
             )
+
+
+class TestNeuralOnlyTokenizerBacked:
+    def test_neural_only_with_tokenizers_and_missing_slot_runs(self, monkeypatch):
+        """With tokenizers loaded, real text embeds back a missing brain slot
+        — the neural_only guard must NOT fire (r2 review finding: it used to
+        raise even though nothing was zeroed)."""
+        import importlib
+
+        import numpy as np
+
+        from loongx_tpu.models.pipeline import LoongXPipeline
+        from loongx_tpu.sampling import generate as gen_fn
+        gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+
+        pipe = LoongXPipeline.tiny(jax.random.key(0))
+        # fake tokenizers: loaded <=> not None; encode_text is stubbed so the
+        # tokenizer objects are never actually called
+        pipe.t5_tokenizer = object()
+        pipe.clip_tokenizer = object()
+        monkeypatch.setattr(
+            type(pipe), "encode_text",
+            lambda self, prompts, neural_only=False: (
+                jnp.ones((1, 8, self.flux_cfg.joint_dim), self.dtype),
+                jnp.ones((1, self.flux_cfg.pooled_dim), self.dtype),
+                jnp.zeros((8, 3), jnp.float32),
+            ),
+        )
+        bp = jnp.ones((1, 8, pipe.flux_cfg.joint_dim), jnp.float32)
+        monkeypatch.setattr(
+            gen_mod, "encode_brain_conditions", lambda *a, **k: (bp, None)
+        )
+        pipe.params["encoders"] = {}
+        out = gen_fn(
+            pipe, prompt="edit", use_brain_condition=True,
+            fuse_flag=False, neural_only=True,
+            height=16, width=16, num_inference_steps=1,
+            attn_backend="xla", output_type="latent",
+            eeg=np.zeros((1, 4, 16), np.float32),
+        )
+        assert np.isfinite(np.asarray(out)).all()
