@@ -78,11 +78,12 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
     softmax degenerates to one exact pass), with block_q | block_k so one
     padded length serves both grid axes."""
     s128 = _round_up(seq_len, LANES)
-    if s128 <= MAX_BLOCK_Q:
-        return s128, s128
     if s128 <= MAX_BLOCK_K:
-        bq = _round_up(-(-s128 // 2), LANES)
-        return bq, 2 * bq  # pad(S) == bk == 2*bq
+        # one (S, S) tile: exact single-pass softmax, no online rescale.
+        # Measured at the 512px point (S=2560): 131 TF/s vs 124 for
+        # (1280, 2560) — the fp32 scores tile (26 MB at 2560) fits the
+        # raised VMEM budget (benchmarks/flash_tile_sweep.py)
+        return s128, s128
     if s128 % MAX_BLOCK_K == 0:
         return MAX_BLOCK_Q, MAX_BLOCK_K
     # non-multiple long sequences: narrow-q x wide-kv tiles keep the MXU fed
