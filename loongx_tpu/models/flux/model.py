@@ -215,6 +215,60 @@ def _use_pallas_qmm(p: Params) -> bool:
     )
 
 
+def _is_stacked_q(p: Params) -> bool:
+    """Is this linear a *stacked* quantized view ([NB, K, N] int8 kernel +
+    `_blk` scan index) produced by `_stacked_view`?"""
+    return "_blk" in p and p["kernel_q"].ndim == 3
+
+
+def _use_stacked_qmm(block_tree: Params) -> bool:
+    """Scan FLUX blocks by index with quantized weight stacks closed over
+    (Pallas scalar-prefetch kernels DMA tiles straight out of the [NB, K, N]
+    stack) instead of letting lax.scan dynamic-slice each block's int8
+    kernels into standalone buffers every iteration (~210 MB of pure copy
+    per transformer call at full-dev).  Same gating as `_use_pallas_qmm`;
+    LOONGX_STACKED_QMM=0/1 overrides (1 exercises the interpret-mode kernels
+    in CPU tests)."""
+    import os
+
+    from loongx_tpu.parallel.mesh import current_tp
+
+    mode = os.environ.get("LOONGX_STACKED_QMM", "auto")
+    if mode == "0":
+        return False
+
+    def has_q(t):
+        if isinstance(t, dict):
+            if "kernel_q" in t:
+                return t["kernel_q"].ndim == 3
+            return any(has_q(v) for v in t.values())
+        return False
+
+    if not has_q(block_tree):
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu" and current_tp() is None
+
+
+def _stacked_view(tree: Params, blk: jnp.ndarray) -> Params:
+    """Index block ``blk`` out of a stacked block tree, keeping int8 linear
+    weight stacks whole (tagged with `_blk`) so `linear`/`linear_gelu` route
+    them through the stacked Pallas kernels; every other leaf (norms, LoRA
+    factors, bf16 kernels) is dynamic-indexed — those are small."""
+    if isinstance(tree, dict):
+        if "kernel_q" in tree:
+            out = {
+                k: (v if k in ("kernel_q", "kernel_scale", "bias")
+                    else jax.lax.dynamic_index_in_dim(v, blk, 0, keepdims=False))
+                for k, v in tree.items()
+            }
+            out["_blk"] = blk
+            return out
+        return {k: _stacked_view(v, blk) for k, v in tree.items()}
+    return jax.lax.dynamic_index_in_dim(tree, blk, 0, keepdims=False)
+
+
 def linear(
     p: Params,
     x: jnp.ndarray,
@@ -230,7 +284,19 @@ def linear(
     where img (LoRA off unless latent_lora) and cond (LoRA on) tokens ride
     one matmul.
     """
-    if "kernel_q" in p:  # int8 weight-only quantized (ops/quant.py)
+    stacked = "kernel_q" in p and _is_stacked_q(p)
+    if stacked:
+        # stacked scan view: scalar-prefetch kernel reads tiles straight out
+        # of the whole [NB, K, N] stack — no per-iteration slice copy
+        from loongx_tpu.ops.quant_matmul import quant_matmul_stacked_vjp
+
+        lead = x.shape[:-1]
+        nb = p["kernel_q"].shape[0]
+        y = quant_matmul_stacked_vjp(
+            x.reshape(-1, x.shape[-1]), p["kernel_q"],
+            p["kernel_scale"].reshape(nb, 1, -1), p["_blk"],
+        ).reshape(*lead, -1).astype(jnp.float32)
+    elif "kernel_q" in p:  # int8 weight-only quantized (ops/quant.py)
         if _use_pallas_qmm(p):
             # tile-dequant Pallas matmul: int8 HBM reads, no bf16 weight
             # copy; differentiable wrt activations (custom_vjp transposed
@@ -265,7 +331,10 @@ def linear(
             delta = delta * lora_mask
         y = y + delta
     if "bias" in p:
-        y = y + p["bias"].astype(jnp.float32)
+        b = p["bias"]
+        if stacked:  # bias kept stacked [NB, N] alongside the kernel stack
+            b = jax.lax.dynamic_index_in_dim(b, p["_blk"], 0, keepdims=False)
+        y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
 
 
@@ -282,6 +351,20 @@ def linear_gelu(
     kernel can't represent the computation (bf16 weights, an active LoRA
     delta that must be added pre-activation, TP-sharded N axis, non-TPU)."""
     if "kernel_q" in p:
+        if _is_stacked_q(p) and not (use_lora and "lora_a" in p):
+            from loongx_tpu.ops.quant_matmul import quant_linear_gelu_stacked
+
+            lead = x.shape[:-1]
+            nb, _, n = p["kernel_q"].shape
+            bias3 = (
+                p["bias"].astype(jnp.float32).reshape(nb, 1, n)
+                if "bias" in p else jnp.zeros((nb, 1, n), jnp.float32)
+            )
+            return quant_linear_gelu_stacked(
+                x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
+                p["kernel_q"], p["kernel_scale"].reshape(nb, 1, n), bias3,
+                p["_blk"],
+            ).reshape(*lead, -1).astype(x.dtype)
         if _use_pallas_qmm(p) and not (use_lora and "lora_a" in p):
             from loongx_tpu.ops.quant_matmul import quant_linear_gelu
 
@@ -711,6 +794,26 @@ def flux_forward(
     cn_dbl_idx = _cn_idx(cfg.num_double_blocks, controlnet_block_samples)
     cn_sgl_idx = _cn_idx(cfg.num_single_blocks, controlnet_single_block_samples)
 
+    # Quantized stacks: scan by block index with the int8 weight stacks
+    # closed over (stacked Pallas kernels index them via scalar prefetch)
+    # instead of letting scan slice-copy each block's kernels per iteration.
+    dbl_stacked = _use_stacked_qmm(params["double_blocks"])
+    sgl_stacked = _use_stacked_qmm(params["single_blocks"])
+    dbl_xs = (
+        jnp.arange(cfg.num_double_blocks) if dbl_stacked
+        else params["double_blocks"]
+    )
+    sgl_xs = (
+        jnp.arange(cfg.num_single_blocks) if sgl_stacked
+        else params["single_blocks"]
+    )
+
+    def _dbl_block(b):
+        return _stacked_view(params["double_blocks"], b) if dbl_stacked else b
+
+    def _sgl_block(b):
+        return _stacked_view(params["single_blocks"], b) if sgl_stacked else b
+
     def _cn_residual(samples, idx):
         # dynamic-index the [N, B, S, H] residual stack inside the scan body
         return jax.lax.dynamic_index_in_dim(samples, idx, 0, keepdims=False)
@@ -718,6 +821,7 @@ def flux_forward(
     # --- double blocks (scan over stacked params) ---
     def double_body(carry, xs):
         block, cn_i = xs
+        block = _dbl_block(block)
         txt_c, img_c, cond_c = carry
         txt_c, img_c, cond_c = double_block_forward(
             block, cfg, img_c, txt_c, cond_c, temb, cond_temb, rope_full,
@@ -732,12 +836,13 @@ def flux_forward(
         body = jax.checkpoint(double_body, prevent_cse=False)
     if use_cond:
         (txt_h, img_h, cond_h), _ = jax.lax.scan(
-            body, (txt_h, img_h, cond_h), (params["double_blocks"], cn_dbl_idx)
+            body, (txt_h, img_h, cond_h), (dbl_xs, cn_dbl_idx)
         )
     else:
         # Keep the carry structure static (no None in scan carries).
         def body2(carry, xs):
             block, cn_i = xs
+            block = _dbl_block(block)
             (t, i), _ = carry, None
             t, i, _c = double_block_forward(
                 block, cfg, i, t, None, temb, None, rope_full, flags,
@@ -749,7 +854,7 @@ def flux_forward(
 
         b2 = jax.checkpoint(body2, prevent_cse=False) if remat else body2
         (txt_h, img_h), _ = jax.lax.scan(
-            b2, (txt_h, img_h), (params["double_blocks"], cn_dbl_idx)
+            b2, (txt_h, img_h), (dbl_xs, cn_dbl_idx)
         )
 
     # --- single blocks over [txt | img] ---
@@ -758,6 +863,7 @@ def flux_forward(
 
     def single_body(carry, xs):
         block, cn_i = xs
+        block = _sgl_block(block)
         x_c, cond_c = carry
         x_c, cond_c = single_block_forward(
             block, cfg, x_c, cond_c, temb, cond_temb, rope_full, flags,
@@ -772,11 +878,12 @@ def flux_forward(
     if use_cond:
         sb = jax.checkpoint(single_body, prevent_cse=False) if remat else single_body
         (x, cond_h), _ = jax.lax.scan(
-            sb, (x, cond_h), (params["single_blocks"], cn_sgl_idx)
+            sb, (x, cond_h), (sgl_xs, cn_sgl_idx)
         )
     else:
         def single_body2(x_c, xs):
             block, cn_i = xs
+            block = _sgl_block(block)
             x_c, _ = single_block_forward(
                 block, cfg, x_c, None, temb, None, rope_full, flags,
                 c_factor, attn_backend,
@@ -790,7 +897,7 @@ def flux_forward(
         sb2 = (
             jax.checkpoint(single_body2, prevent_cse=False) if remat else single_body2
         )
-        x, _ = jax.lax.scan(sb2, x, (params["single_blocks"], cn_sgl_idx))
+        x, _ = jax.lax.scan(sb2, x, (sgl_xs, cn_sgl_idx))
 
     x = x[:, txt_h.shape[1] :]
 

@@ -402,6 +402,313 @@ def _qmm_w8a8_fwd(x, w_q, scale):
 quant_matmul_w8a8_vjp.defvjp(_qmm_w8a8_fwd, _qmm_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Stacked-weight kernels (scalar-prefetch block indexing)
+#
+# Inside the scan over FLUX blocks, the weights live stacked as [NB, K, N];
+# feeding the plain kernels forces XLA to materialise each block's slice as
+# a standalone buffer before the custom call (~7 ms/step of dynamic-slice
+# copies at full-dev).  These variants take the WHOLE stacked array plus the
+# loop index as a scalar-prefetch operand: the BlockSpec index maps pick
+# block `blk` directly, so the kernel DMAs weight tiles straight out of the
+# stacked array and no slice copy ever exists.
+# ---------------------------------------------------------------------------
+
+
+def _qmm_w8a8_stacked_kernel(
+    idx_ref, x_ref, wq_ref, scale_ref, *refs, num_k, activation=None
+):
+    del idx_ref  # consumed by the BlockSpec index maps
+    bias_ref, o_ref, acc_ref = refs if len(refs) == 3 else (None, *refs)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    acc_i32 = jax.lax.dot(x_q, wq_ref[0], preferred_element_type=jnp.int32)
+    acc_ref[...] += acc_i32.astype(jnp.float32) * x_scale
+
+    @pl.when(ki == num_k - 1)
+    def _store():
+        o_ref[...] = _epilogue(
+            acc_ref[...], scale_ref.at[0], None if bias_ref is None else bias_ref.at[0],
+            activation,
+        ).astype(o_ref.dtype)
+
+
+def _qmm_stacked_kernel(
+    idx_ref, x_ref, wq_ref, scale_ref, *refs, num_k, activation=None
+):
+    del idx_ref
+    bias_ref, o_ref, acc_ref = refs if len(refs) == 3 else (None, *refs)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = wq_ref[0].astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...], w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == num_k - 1)
+    def _store():
+        o_ref[...] = _epilogue(
+            acc_ref[...], scale_ref.at[0], None if bias_ref is None else bias_ref.at[0],
+            activation,
+        ).astype(o_ref.dtype)
+
+
+def _stacked_blocks(k: int, n: int):
+    """(block_n, block_k) for a stacked call — same policy as the flat W8A8
+    path; the stacked arrays are never padded (see `_stacked_ok`)."""
+    wide_n = n >= 4 * k
+    return (2048 if wide_n else 1024), (1024 if wide_n else 1536)
+
+
+def _stacked_ok(k: int, n: int, block_n: int, block_k: int) -> bool:
+    """Stacked kernels require K/N divisible by the tile sizes: padding the
+    whole [NB, K, N] stack would copy it, defeating the point."""
+    return k % block_k == 0 and n % block_n == 0
+
+
+def quant_matmul_stacked(
+    x: jnp.ndarray,          # [M, K]
+    w_q3: jnp.ndarray,       # [NB, K, N] int8
+    scale3: jnp.ndarray,     # [NB, 1, N] fp32
+    blk: jnp.ndarray,        # scalar int32 — which block of the stack
+    bias3: Optional[jnp.ndarray] = None,   # [NB, 1, N] fp32
+    activation: Optional[str] = None,
+    block_m: int = 512,
+    interpret: Optional[bool] = None,
+    w8a8: Optional[bool] = None,
+) -> jnp.ndarray:
+    # Resolve env-dependent defaults OUTSIDE the jit so they participate in
+    # the cache key (a trace-time `use_w8a8()` read would pin the first
+    # value seen per shape forever).
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if w8a8 is None:
+        w8a8 = use_w8a8()
+    return _quant_matmul_stacked_jit(
+        x, w_q3, scale3, blk, bias3,
+        activation=activation, block_m=block_m, interpret=interpret,
+        w8a8=w8a8,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "interpret", "activation", "w8a8"),
+)
+def _quant_matmul_stacked_jit(
+    x, w_q3, scale3, blk, bias3=None, *,
+    activation=None, block_m=512, interpret=False, w8a8=False,
+):
+    m, k = x.shape
+    nb, k2, n = w_q3.shape
+    assert k == k2 and scale3.shape == (nb, 1, n), (x.shape, w_q3.shape, scale3.shape)
+    block_n, block_k = _stacked_blocks(k, n)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    if not _stacked_ok(k, n, block_n, block_k):
+        # fall back to the flat kernel on a sliced copy (rare small shapes)
+        qmm = quant_matmul_w8a8 if w8a8 else quant_matmul
+        return qmm(
+            x, w_q3[blk], scale3[blk],
+            bias=None if bias3 is None else bias3[blk],
+            activation=activation, interpret=interpret,
+        )
+    x = x.astype(jnp.bfloat16)
+    block_m = min(block_m, _round_up(m, 128))
+    m_pad = _round_up(m, block_m)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+
+    num_k = k // block_k
+    kernel_fn = _qmm_w8a8_stacked_kernel if w8a8 else _qmm_stacked_kernel
+    vec_spec = pl.BlockSpec((1, 1, block_n), lambda i, j, ki, b: (b[0], 0, j))
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, ki, b: (i, ki)),
+        pl.BlockSpec((1, block_k, block_n), lambda i, j, ki, b: (b[0], ki, j)),
+        vec_spec,
+    ]
+    args = [x, w_q3, scale3.astype(jnp.float32)]
+    if bias3 is not None:
+        in_specs.append(vec_spec)
+        args.append(bias3.astype(jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // block_m, n // block_n, num_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ki, b: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(kernel_fn, num_k=num_k, activation=activation),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=m_pad * k * 2 + k * n + m_pad * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(blk, jnp.int32).reshape(1), *args)
+    return out[:m]
+
+
+def _qmm_t_stacked_kernel(
+    idx_ref, dy_ref, wq_ref, scale_ref, o_ref, acc_ref, *, num_n
+):
+    del idx_ref
+    ni = pl.program_id(2)
+
+    @pl.when(ni == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    dy = (dy_ref[...].astype(jnp.float32) * scale_ref[0]).astype(jnp.bfloat16)
+    w = wq_ref[0].astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot_general(
+        dy, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ni == num_n - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def quant_matmul_t_stacked(
+    dy: jnp.ndarray,         # [M, N]
+    w_q3: jnp.ndarray,       # [NB, K, N] int8
+    scale3: jnp.ndarray,     # [NB, 1, N] fp32
+    blk: jnp.ndarray,
+    block_m: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """dx = dy @ (w_q3[blk] * scale3[blk])^T without slicing the stack."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, n = dy.shape
+    nb, k, n2 = w_q3.shape
+    assert n == n2, (dy.shape, w_q3.shape)
+    block_n, block_k = _stacked_blocks(k, n)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    if not _stacked_ok(k, n, block_n, block_k):
+        return quant_matmul_t(dy, w_q3[blk], scale3[blk], interpret=interpret)
+    dy = dy.astype(jnp.bfloat16)
+    block_m = min(block_m, _round_up(m, 128))
+    m_pad = _round_up(m, block_m)
+    if m_pad != m:
+        dy = jnp.pad(dy, ((0, m_pad - m), (0, 0)))
+    num_n = n // block_n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // block_m, k // block_k, num_n),
+        in_specs=[
+            pl.BlockSpec((block_m, block_n), lambda i, j, ni, b: (i, ni)),
+            pl.BlockSpec((1, block_k, block_n), lambda i, j, ni, b: (b[0], j, ni)),
+            pl.BlockSpec((1, 1, block_n), lambda i, j, ni, b: (b[0], 0, ni)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_k), lambda i, j, ni, b: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_k), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_qmm_t_stacked_kernel, num_n=num_n),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, k), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=m_pad * n * 2 + k * n + m_pad * k * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(blk, jnp.int32).reshape(1), dy, w_q3, scale3.astype(jnp.float32))
+    return out[:m]
+
+
+@jax.custom_vjp
+def quant_matmul_stacked_vjp(x, w_q3, scale3, blk):
+    """Differentiable (wrt x) stacked-weight matmul; the W8A8/weight-only
+    routing follows LOONGX_W8A8 like the flat path."""
+    return quant_matmul_stacked(x, w_q3, scale3, blk)
+
+
+def _qms_fwd(x, w_q3, scale3, blk):
+    return quant_matmul_stacked(x, w_q3, scale3, blk), (w_q3, scale3, blk)
+
+
+def _qms_bwd(res, dy):
+    import numpy as np
+
+    w_q3, scale3, blk = res
+    dx = quant_matmul_t_stacked(dy, w_q3, scale3, blk)
+    return (
+        dx,
+        np.zeros(w_q3.shape, jax.dtypes.float0),
+        jnp.zeros_like(scale3),
+        np.zeros(jnp.shape(blk), jax.dtypes.float0),
+    )
+
+
+quant_matmul_stacked_vjp.defvjp(_qms_fwd, _qms_bwd)
+
+
+@jax.custom_vjp
+def quant_linear_gelu_stacked(x, w_q3, scale3, bias3, blk):
+    """Stacked-weight variant of `quant_linear_gelu` (fused bias + gelu
+    epilogue, recompute backward)."""
+    return quant_matmul_stacked(
+        x, w_q3, scale3, blk, bias3=bias3, activation="gelu_tanh"
+    )
+
+
+def _qlgs_fwd(x, w_q3, scale3, bias3, blk):
+    return (
+        quant_linear_gelu_stacked(x, w_q3, scale3, bias3, blk),
+        (x, w_q3, scale3, bias3, blk),
+    )
+
+
+def _qlgs_bwd(res, dy):
+    import numpy as np
+
+    x, w_q3, scale3, bias3, blk = res
+    z = quant_matmul_stacked(x, w_q3, scale3, blk, bias3=bias3)
+    _, act_vjp = jax.vjp(
+        lambda t: jax.nn.gelu(t.astype(jnp.float32), approximate=True), z
+    )
+    (dz,) = act_vjp(dy.astype(jnp.float32))
+    dx = quant_matmul_t_stacked(dz.astype(dy.dtype), w_q3, scale3, blk)
+    return (
+        dx,
+        np.zeros(w_q3.shape, jax.dtypes.float0),
+        jnp.zeros_like(scale3),
+        jnp.zeros_like(bias3),
+        np.zeros(jnp.shape(blk), jax.dtypes.float0),
+    )
+
+
+quant_linear_gelu_stacked.defvjp(_qlgs_fwd, _qlgs_bwd)
+
+
 @jax.custom_vjp
 def quant_linear_gelu(x, w_q, scale, bias):
     """gelu_tanh((x @ w_q) * scale + bias) with the bias + activation fused

@@ -292,3 +292,162 @@ def test_linear_gelu_falls_back_with_lora():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Stacked-weight kernels (scalar-prefetch block indexing under lax.scan)
+# ---------------------------------------------------------------------------
+
+
+def _stacked_fixture(nb=3, k=64, n=96, m=16, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    wq3 = jnp.asarray(rng.integers(-127, 128, (nb, k, n)), np.int8)
+    scale3 = jnp.asarray(
+        rng.uniform(0.005, 0.02, (nb, 1, n)), jnp.float32
+    )
+    bias3 = jnp.asarray(0.1 * rng.standard_normal((nb, 1, n)), jnp.float32)
+    return x, wq3, scale3, bias3
+
+
+def test_stacked_matches_flat_per_block():
+    """quant_matmul_stacked(blk) == flat quant_matmul on the blk-th slice,
+    for every block of the stack (incl. the fused bias+gelu epilogue)."""
+    from loongx_tpu.ops.quant_matmul import quant_matmul, quant_matmul_stacked
+
+    x, wq3, scale3, bias3 = _stacked_fixture()
+    for blk in range(wq3.shape[0]):
+        flat = quant_matmul(x, wq3[blk], scale3[blk])
+        got = quant_matmul_stacked(x, wq3, scale3, jnp.int32(blk))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(flat, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+        flat_g = quant_matmul(
+            x, wq3[blk], scale3[blk], bias=bias3[blk], activation="gelu_tanh"
+        )
+        got_g = quant_matmul_stacked(
+            x, wq3, scale3, jnp.int32(blk), bias3=bias3,
+            activation="gelu_tanh",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_g, np.float32), np.asarray(flat_g, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
+def test_stacked_w8a8_matches_flat(monkeypatch):
+    from loongx_tpu.ops.quant_matmul import (
+        quant_matmul_stacked, quant_matmul_w8a8,
+    )
+
+    monkeypatch.setenv("LOONGX_W8A8", "1")
+    x, wq3, scale3, _ = _stacked_fixture(seed=3)
+    blk = 1
+    # same k-tile grouping as the stacked policy at this shape, so the
+    # dynamic activation scales (and hence the int8 rounding) are identical
+    flat = quant_matmul_w8a8(
+        x, wq3[blk], scale3[blk], block_n=96, block_k=64
+    )
+    got = quant_matmul_stacked(x, wq3, scale3, jnp.int32(blk))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(flat, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
+def test_stacked_vjp_grad_matches_flat():
+    """d/dx of the stacked matmul == d/dx of the flat vjp on the same slice
+    (QLoRA under the stacked block scan)."""
+    from loongx_tpu.ops.quant_matmul import (
+        quant_matmul_stacked_vjp, quant_matmul_vjp,
+    )
+
+    x, wq3, scale3, _ = _stacked_fixture(seed=1)
+    cot = jnp.asarray(
+        np.random.default_rng(9).standard_normal((x.shape[0], wq3.shape[2])),
+        jnp.float32,
+    )
+    blk = 2
+    g_st = jax.grad(lambda x: jnp.sum(
+        quant_matmul_stacked_vjp(x, wq3, scale3, jnp.int32(blk)).astype(
+            jnp.float32
+        ) * cot
+    ))(x)
+    g_fl = jax.grad(lambda x: jnp.sum(
+        quant_matmul_vjp(x, wq3[blk], scale3[blk]).astype(jnp.float32) * cot
+    ))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_st), np.asarray(g_fl), atol=2e-4, rtol=2e-2
+    )
+
+
+def test_stacked_gelu_grad_matches_composed():
+    from loongx_tpu.ops.quant_matmul import (
+        quant_linear_gelu_stacked, quant_matmul_stacked_vjp,
+    )
+
+    x, wq3, _, bias3 = _stacked_fixture(seed=2)
+    # keep pre-activations O(1): bf16 stores carry ~0.4% relative noise,
+    # which the quadratic loss amplifies at large |z| (same bound as the
+    # flat quant_linear_gelu grad test)
+    scale3 = jnp.asarray(
+        np.random.default_rng(2).uniform(0.001, 0.003, wq3.shape[:1] + (1, wq3.shape[2])),
+        jnp.float32,
+    )
+    bias3 = bias3 * 0.1
+    blk = jnp.int32(0)
+
+    def loss_fused(x):
+        return jnp.sum(
+            quant_linear_gelu_stacked(x, wq3, scale3, bias3, blk) ** 2
+        )
+
+    def loss_composed(x):
+        z = quant_matmul_stacked_vjp(x, wq3, scale3, blk).astype(
+            jnp.float32
+        ) + bias3[0]
+        return jnp.sum(jax.nn.gelu(z, approximate=True) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_fused)(x)),
+        np.asarray(jax.grad(loss_composed)(x)),
+        atol=0.06, rtol=0.05,
+    )
+
+
+def test_stacked_flux_forward_matches_sliced(monkeypatch):
+    """Full quantized tiny-flux forward: the stacked block scan
+    (LOONGX_STACKED_QMM=1, interpret-mode Pallas) must reproduce the
+    plain sliced scan (LOONGX_STACKED_QMM=0, XLA dequant)."""
+    from loongx_tpu.models.flux.model import (
+        FluxConfig, flux_forward, init_flux_params,
+    )
+    from loongx_tpu.ops.latents import latent_image_ids
+    from loongx_tpu.ops.quant import quantize_tree
+
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    params["double_blocks"] = quantize_tree(params["double_blocks"])
+    params["single_blocks"] = quantize_tree(params["single_blocks"])
+
+    b, s_img, s_txt = 1, 16, 4
+    kwargs = dict(
+        img=jax.random.normal(jax.random.key(1), (b, s_img, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.key(2), (b, s_txt, cfg.joint_dim)),
+        pooled=jax.random.normal(jax.random.key(3), (b, cfg.pooled_dim)),
+        timestep=jnp.full((b,), 0.5),
+        guidance=jnp.full((b,), 3.5),
+        img_ids=latent_image_ids(8, 8),  # (8/2)*(8/2) = 16 packed tokens
+        txt_ids=jnp.zeros((s_txt, 3)),
+    )
+
+    monkeypatch.setenv("LOONGX_STACKED_QMM", "0")
+    ref = flux_forward(params, cfg, **kwargs)
+    monkeypatch.setenv("LOONGX_STACKED_QMM", "1")
+    got = flux_forward(params, cfg, **kwargs)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
