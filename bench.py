@@ -6,9 +6,9 @@ Mirrors the reference's deployed operating point (BASELINE.md: 512x512,
 denoise loop + condition tokens + VAE decode, end to end on one chip.
 
 By default benchmarks the FULL FLUX.1-dev geometry (19 double + 38 single
-blocks, 3072 hidden, 24 heads x 128, ~12B params) with int8 weight-only
-quantized matmuls and per-superblock weight streaming so the working set fits
-a 16 GB v5e.  Set BENCH_LITE=1 to run the bf16 8+16 "flux-lite" proxy
+blocks, 3072 hidden, 24 heads x 128, ~12B params) with int8-quantized
+matmuls (W8A8 by default) so the whole 11.9 GB weight set resides in a
+16 GB v5e's HBM.  Set BENCH_LITE=1 to run the bf16 8+16 "flux-lite" proxy
 instead.  The reference publishes no latency numbers (SURVEY §6), so
 vs_baseline is null.
 
@@ -83,11 +83,17 @@ def main():
     if full:
         # random int8 weights created directly (a bf16 12B init would blow
         # the 16 GB chip before quantization could run)
-        from loongx_tpu.ops.quant import random_quantized_like
+        from loongx_tpu.ops.quant import (
+            fuse_qkv_projections, random_quantized_like,
+        )
 
         flux_params = random_quantized_like(
             ks[0], lambda: init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
         )
+        if os.environ.get("LOONGX_FUSE_QKV", "1") == "1":
+            # one qkv matmul per stream (exact concat of int8 stacks);
+            # consume=True keeps peak HBM to one fused stack at a time
+            flux_params = fuse_qkv_projections(flux_params, consume=True)
     else:
         flux_params = init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
 

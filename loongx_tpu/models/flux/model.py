@@ -451,15 +451,24 @@ def _qkv(
     torch's .view().transpose() relayouts around every SDPA call,
     block.py:84-95)."""
     if prefix == "to":
+        fused = attn.get("to_qkv")  # serving-fused (ops/quant.fuse_qkv_projections)
+        nq, nk = attn["norm_q"], attn["norm_k"]
+    else:  # context ("added") projections — never LoRA-targeted
+        fused = attn.get("add_qkv_proj")
+        nq, nk = attn["norm_added_q"], attn["norm_added_k"]
+    if fused is not None:
+        if _is_stacked_q(fused):
+            # one kernel: matmul + in-BlockSpec q/k/v split + fused RMS
+            return _fused_qkv_stacked(fused, nq, nk, x, num_heads)
+        q, k, v = jnp.split(linear(fused, x, use_lora=False), 3, -1)
+    elif prefix == "to":
         q = linear(attn["to_q"], x, use_lora, lora_mask)
         k = linear(attn["to_k"], x, use_lora, lora_mask)
         v = linear(attn["to_v"], x, use_lora, lora_mask)
-        nq, nk = attn["norm_q"], attn["norm_k"]
-    else:  # context ("added") projections — never LoRA-targeted
+    else:
         q = linear(attn["add_q_proj"], x, use_lora=False)
         k = linear(attn["add_k_proj"], x, use_lora=False)
         v = linear(attn["add_v_proj"], x, use_lora=False)
-        nq, nk = attn["norm_added_q"], attn["norm_added_k"]
     b, s, _ = q.shape
 
     def split(t):
@@ -469,6 +478,40 @@ def _qkv(
     q = rms_norm(q, nq["weight"])
     k = rms_norm(k, nk["weight"])
     return q, k, v
+
+
+def _fused_qkv_stacked(p, nq, nk, x, num_heads: int):
+    """Stacked fused-qkv projection via the single Pallas kernel
+    (ops/quant_matmul.quant_qkv_stacked): the q/k/v split happens in the
+    output BlockSpec and the per-head RMS q/k norms run in the store
+    epilogue — no [M, 3H] intermediate, no separate norm pass."""
+    from loongx_tpu.ops.quant_matmul import quant_qkv_stacked
+
+    b, s, _ = x.shape
+    nb, _, n3 = p["kernel_q"].shape
+    h = n3 // 3
+    hd = h // num_heads
+    norm_w = jnp.stack(
+        [
+            jnp.tile(nq["weight"].astype(jnp.float32), num_heads),
+            jnp.tile(nk["weight"].astype(jnp.float32), num_heads),
+            jnp.ones((h,), jnp.float32),
+        ]
+    )
+    bias3 = (
+        p["bias"].astype(jnp.float32).reshape(nb, 1, n3)
+        if "bias" in p else jnp.zeros((nb, 1, n3), jnp.float32)
+    )
+    q, k, v = quant_qkv_stacked(
+        x.reshape(-1, x.shape[-1]), p["kernel_q"],
+        p["kernel_scale"].reshape(nb, 1, n3), bias3, norm_w, p["_blk"], hd,
+    )
+    shape = (b, s, num_heads, hd)
+    return (
+        q.reshape(shape).astype(x.dtype),
+        k.reshape(shape).astype(x.dtype),
+        v.reshape(shape).astype(x.dtype),
+    )
 
 
 def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:

@@ -151,16 +151,23 @@ class LoongXPipeline:
             pipe.quantize()
         return pipe
 
-    def quantize(self, dit: bool = True, text: bool = True) -> "LoongXPipeline":
+    def quantize(
+        self, dit: bool = True, text: bool = True, fuse_qkv: bool = True
+    ) -> "LoongXPipeline":
         """Int8-quantize weights in place (per-out-channel, ops/quant.py).
 
         The DiT runs its Pallas tile-dequant / W8A8 kernels; the text
         encoders use the transparent qdot dequant (one-shot per prompt,
-        off the denoise hot path)."""
-        from loongx_tpu.ops.quant import quantize_tree
+        off the denoise hot path).  fuse_qkv concatenates each attention's
+        q/k/v projections into one matmul (exact; skipped automatically on
+        LoRA-carrying projections) — pass False when serving under tensor
+        parallelism, whose sharding rules address the unfused axes."""
+        from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
 
         if dit and "flux" in self.params:
             self.params["flux"] = quantize_tree(self.params["flux"])
+            if fuse_qkv:
+                self.params["flux"] = fuse_qkv_projections(self.params["flux"])
         if text:
             for name in ("t5", "clip"):
                 if name in self.params:

@@ -124,3 +124,76 @@ def random_quantized_like(
         return jnp.zeros(tree.shape, tree.dtype)
 
     return walk(shapes)
+
+
+def fuse_qkv_projections(flux_params: Params, consume: bool = False) -> Params:
+    """Serving-time transform: concatenate each attention's q/k/v projection
+    weights along the output axis so every stream issues ONE matmul instead
+    of three (the activations are read from HBM once, and W8A8 quantizes
+    them in-VMEM once).  Exact — per-out-channel int8 scales concatenate
+    losslessly — and works on stacked ([NB, K, N]) or flat trees, quantized
+    or bf16.
+
+    The reference pays three separate nn.Linear launches per stream
+    (block.py:84-95).  Skipped (left unfused) wherever a LoRA delta sits on
+    q/k/v — the adapters address the projections individually — or under
+    tensor parallelism, where the TP rules shard the UNfused per-projection
+    output axes (a fused [K, 3H] column shard would split heads across q/k/v
+    boundaries).
+
+    Consumed by ``models.flux.model._qkv`` via the fused "to_qkv" /
+    "add_qkv_proj" dicts; `jnp.split` recovers q, k, v.
+
+    consume=True MUTATES the input tree, dropping the source q/k/v arrays
+    (with a device sync) right after each concat so the transform's peak
+    HBM is one fused stack, not the whole fused+unfused set (~2 GB extra at
+    12B on a ~14 GiB chip).  Use it when the caller is replacing its tree.
+    """
+    def fuse3(a, b, c):
+        fused: Params = {}
+        for name in a:
+            if name.startswith("lora"):
+                return None
+            fused[name] = jnp.concatenate(
+                [a[name], b[name], c[name]], axis=-1
+            )
+        return fused
+
+    def fuse_attn(attn: Params) -> Params:
+        out = attn if consume else dict(attn)
+        for stem, fused_name in (
+            ("to_{}", "to_qkv"), ("add_{}_proj", "add_qkv_proj")
+        ):
+            names = [stem.format(x) for x in ("q", "k", "v")]
+            if all(n in attn for n in names):
+                if any("lora_a" in attn[n] for n in names):
+                    continue
+                f = fuse3(*(attn[n] for n in names))
+                if f is not None:
+                    out[fused_name] = f
+                    for n in names:
+                        del out[n]
+                    if consume:
+                        # barrier: let the concat finish and the donors free
+                        # before the next group's transient allocates
+                        jax.device_get(jnp.ravel(f["kernel_scale"])[0]
+                                       if "kernel_scale" in f
+                                       else jnp.ravel(f["kernel"])[0])
+        return out
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            if consume:
+                for k, v in tree.items():
+                    if k == "attn":
+                        fuse_attn(v)
+                    else:
+                        walk(v)
+                return tree
+            return {
+                k: (fuse_attn(v) if k == "attn" else walk(v))
+                for k, v in tree.items()
+            }
+        return tree
+
+    return walk(flux_params)

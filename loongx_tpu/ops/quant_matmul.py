@@ -763,3 +763,160 @@ def quant_linear_apply(p, x: jnp.ndarray) -> jnp.ndarray:
     if "bias" in p:
         y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(y.dtype)
     return y.reshape(*lead, -1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused QKV projection kernel (stacked weights, in-kernel split + q/k RMS)
+#
+# One matmul over the concatenated [K, 3H] qkv weight (x read from HBM and
+# W8A8-quantized in VMEM once, not three times), with the q/k/v split done
+# by the OUTPUT BlockSpec — each N tile lands in its own plane of a
+# [3, M, H] output, so no [M, 3H] intermediate or post-hoc jnp.split copy
+# ever exists — and the per-head RMS q/k norms (block.py:84-95 /
+# diffusers qk_norm) applied in the fp32 store epilogue, eliminating their
+# separate elementwise HBM pass.
+# ---------------------------------------------------------------------------
+
+
+def _qmm_qkv_stacked_kernel(
+    idx_ref, x_ref, wq_ref, scale_ref, bias_ref, nw_ref, o_ref, acc_ref,
+    *, num_k, jh, head_dim, w8a8, eps=1e-6,
+):
+    del idx_ref
+    ki = pl.program_id(2)
+    seg = pl.program_id(1) // jh  # 0=q, 1=k, 2=v
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if w8a8:
+        x = x_ref[...].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+        x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+        acc_i32 = jax.lax.dot(x_q, wq_ref[0], preferred_element_type=jnp.int32)
+        acc_ref[...] += acc_i32.astype(jnp.float32) * x_scale
+    else:
+        w = wq_ref[0].astype(jnp.bfloat16)
+        acc_ref[...] += jax.lax.dot(
+            x_ref[...], w, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == num_k - 1)
+    def _store():
+        z = acc_ref[...] * scale_ref.at[0][...] + bias_ref.at[0][...]
+        bm, bn = z.shape
+        zg = z.reshape(bm, bn // head_dim, head_dim)
+        rms = jax.lax.rsqrt(jnp.mean(zg * zg, axis=-1, keepdims=True) + eps)
+        normed = (zg * rms).reshape(bm, bn) * nw_ref[0]
+        o_ref[0] = jnp.where(seg < 2, normed, z).astype(o_ref.dtype)
+
+
+def _qkv_block_n(h: int, head_dim: int) -> int:
+    """Largest tile <=1024 dividing H (so no tile straddles the q/k/v
+    boundary) and a multiple of head_dim (so RMS groups stay whole)."""
+    for bn in (1024, 768, 512, 384, 256, 128):
+        if h % bn == 0 and bn % head_dim == 0:
+            return bn
+    return h
+
+
+def quant_qkv_stacked(
+    x: jnp.ndarray,          # [M, K]
+    w_q3: jnp.ndarray,       # [NB, K, 3H] int8 (fuse_qkv_projections)
+    scale3: jnp.ndarray,     # [NB, 1, 3H] fp32
+    bias3: jnp.ndarray,      # [NB, 1, 3H] fp32
+    norm_w: jnp.ndarray,     # [3, H] fp32: tiled norm_q / norm_k / ones
+    blk: jnp.ndarray,
+    head_dim: int,
+    block_m: int = 512,
+    interpret: Optional[bool] = None,
+    w8a8: Optional[bool] = None,
+):
+    """(q, k, v) each [M, H] with per-head RMS already applied to q and k.
+
+    Forward-only (serving): LoRA-carrying projections are never fused
+    (ops/quant.fuse_qkv_projections skips them), so no custom_vjp needed.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if w8a8 is None:
+        w8a8 = use_w8a8()
+    out = _quant_qkv_stacked_jit(
+        x, w_q3, scale3, bias3, norm_w, blk,
+        head_dim=head_dim, block_m=block_m, interpret=interpret, w8a8=w8a8,
+    )
+    return out[0], out[1], out[2]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("head_dim", "block_m", "interpret", "w8a8")
+)
+def _quant_qkv_stacked_jit(
+    x, w_q3, scale3, bias3, norm_w, blk, *,
+    head_dim, block_m=512, interpret=False, w8a8=False,
+):
+    m, k = x.shape
+    nb, k2, n3 = w_q3.shape
+    assert k == k2 and n3 % 3 == 0, (x.shape, w_q3.shape)
+    h = n3 // 3
+    assert h % head_dim == 0 and norm_w.shape == (3, h), (h, norm_w.shape)
+    # [3, 1, H]: a (1, 1, block_n) block keeps the TPU sublane rule happy
+    # (block dim -2 == array dim -2 == 1); a (1, block_n) block over [3, H]
+    # would violate it
+    norm_w = norm_w.reshape(3, 1, h)
+    block_n = _qkv_block_n(h, head_dim)
+    _, block_k = _stacked_blocks(k, n3)
+    block_k = min(block_k, k)
+    assert k % block_k == 0, (k, block_k)
+
+    x = x.astype(jnp.bfloat16)
+    block_m = min(block_m, _round_up(m, 128))
+    m_pad = _round_up(m, block_m)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+
+    jh = h // block_n
+    num_k = k // block_k
+    vec_spec = pl.BlockSpec((1, 1, block_n), lambda i, j, ki, b: (b[0], 0, j))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // block_m, 3 * jh, num_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, ki, b: (i, ki)),
+            pl.BlockSpec((1, block_k, block_n), lambda i, j, ki, b: (b[0], ki, j)),
+            vec_spec,
+            vec_spec,
+            pl.BlockSpec(
+                (1, 1, block_n), lambda i, j, ki, b: (j // jh, 0, j % jh)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_m, block_n), lambda i, j, ki, b: (j // jh, i, j % jh)
+        ),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm_qkv_stacked_kernel,
+            num_k=num_k, jh=jh, head_dim=head_dim, w8a8=w8a8,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3, m_pad, h), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n3,
+            bytes_accessed=m_pad * k * 2 + k * n3 + 3 * m_pad * h * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(blk, jnp.int32).reshape(1), x, w_q3,
+        scale3.astype(jnp.float32), bias3.astype(jnp.float32),
+        norm_w.astype(jnp.float32),
+    )
+    return out[:, :m]

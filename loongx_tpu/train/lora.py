@@ -59,6 +59,19 @@ def add_lora(
     dtype=jnp.bfloat16,
 ) -> Params:
     """Return a copy of ``params`` with LoRA leaves added to targeted linears."""
+    fused = [
+        p for p, _ in _walk_linears(params)
+        if p.endswith(("to_qkv", "add_qkv_proj"))
+    ]
+    if fused:
+        # the reference's target regexes address to_q/to_k/to_v individually;
+        # silently skipping them on a serving-fused tree would train a
+        # different adapter set than configured
+        raise ValueError(
+            "param tree has serving-fused qkv projections "
+            f"({fused[:2]}...): quantize with fuse_qkv=False before adding "
+            "LoRA adapters"
+        )
     params = jax.tree.map(lambda x: x, params)  # shallow-ish copy via rebuild
     patterns = [re.compile(t) for t in targets]
     matched = []

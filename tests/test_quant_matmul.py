@@ -451,3 +451,160 @@ def test_stacked_flux_forward_matches_sliced(monkeypatch):
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         atol=5e-2, rtol=5e-2,
     )
+
+
+def test_fused_qkv_matches_unfused(monkeypatch):
+    """fuse_qkv_projections must be exact: the fused tiny-flux forward
+    reproduces the unfused one bit-for-bit on the XLA dequant path, and
+    through the stacked Pallas path within kernel rounding."""
+    from loongx_tpu.models.flux.model import (
+        FluxConfig, flux_forward, init_flux_params,
+    )
+    from loongx_tpu.ops.latents import latent_image_ids
+    from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
+
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    params["double_blocks"] = quantize_tree(params["double_blocks"])
+    params["single_blocks"] = quantize_tree(params["single_blocks"])
+    fused = dict(params)
+    fused["double_blocks"] = fuse_qkv_projections(params["double_blocks"])
+    fused["single_blocks"] = fuse_qkv_projections(params["single_blocks"])
+    # the transform actually fused (q/k/v gone, qkv present)
+    assert "to_qkv" in fused["double_blocks"]["attn"]
+    assert "add_qkv_proj" in fused["double_blocks"]["attn"]
+    assert "to_q" not in fused["double_blocks"]["attn"]
+    assert "to_qkv" in fused["single_blocks"]["attn"]
+
+    b, s_img, s_txt = 1, 16, 4
+    kwargs = dict(
+        img=jax.random.normal(jax.random.key(1), (b, s_img, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.key(2), (b, s_txt, cfg.joint_dim)),
+        pooled=jax.random.normal(jax.random.key(3), (b, cfg.pooled_dim)),
+        timestep=jnp.full((b,), 0.5),
+        guidance=jnp.full((b,), 3.5),
+        img_ids=latent_image_ids(8, 8),
+        txt_ids=jnp.zeros((s_txt, 3)),
+    )
+    monkeypatch.setenv("LOONGX_STACKED_QMM", "0")
+    ref = flux_forward(params, cfg, **kwargs)
+    got = flux_forward(fused, cfg, **kwargs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    monkeypatch.setenv("LOONGX_STACKED_QMM", "1")
+    got_st = flux_forward(fused, cfg, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(got_st, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
+def test_fused_qkv_skips_lora_projections():
+    """A LoRA delta on any q/k/v projection must leave that triple unfused
+    (adapters address the projections individually)."""
+    from loongx_tpu.models.flux.model import FluxConfig, init_flux_params
+    from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
+    from loongx_tpu.train.lora import add_lora
+
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    blocks = quantize_tree(params["double_blocks"])
+    blocks = add_lora(
+        jax.random.key(1), blocks, r=2, dtype=jnp.float32,
+        targets=(r"attn/to_(q|k|v)$",),
+    )
+    fused = fuse_qkv_projections(blocks)
+    assert "to_qkv" not in fused["attn"]          # LoRA present -> untouched
+    assert "to_q" in fused["attn"]
+    assert "add_qkv_proj" in fused["attn"]        # context projs still fuse
+
+
+def test_fused_qkv_consume_mutates_in_place():
+    """consume=True must fuse the SAME tree object (incremental source
+    dropping for the 12B serving path) and produce identical arrays to the
+    pure walk."""
+    from loongx_tpu.models.flux.model import FluxConfig, init_flux_params
+    from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
+
+    cfg = FluxConfig.tiny()
+    blocks = quantize_tree(
+        init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)[
+            "double_blocks"
+        ]
+    )
+    pure = fuse_qkv_projections(blocks)
+    consumed = fuse_qkv_projections(blocks, consume=True)
+    assert consumed is blocks and "to_q" not in blocks["attn"]
+    np.testing.assert_array_equal(
+        np.asarray(pure["attn"]["to_qkv"]["kernel_q"]),
+        np.asarray(consumed["attn"]["to_qkv"]["kernel_q"]),
+    )
+
+
+def test_quant_qkv_stacked_kernel_matches_composed(monkeypatch):
+    """The fused qkv kernel == matmul + split + per-head RMS composed, for
+    both serving modes."""
+    from loongx_tpu.ops.nn import rms_norm
+    from loongx_tpu.ops.quant_matmul import quant_qkv_stacked
+
+    rng = np.random.default_rng(0)
+    nb, k, h, hd, m = 2, 64, 64, 32, 16
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    wq3 = jnp.asarray(rng.integers(-127, 128, (nb, k, 3 * h)), np.int8)
+    scale3 = jnp.asarray(rng.uniform(0.005, 0.02, (nb, 1, 3 * h)), jnp.float32)
+    bias3 = jnp.asarray(0.1 * rng.standard_normal((nb, 1, 3 * h)), jnp.float32)
+    wq_n = jnp.asarray(rng.uniform(0.5, 1.5, (hd,)), jnp.float32)
+    wk_n = jnp.asarray(rng.uniform(0.5, 1.5, (hd,)), jnp.float32)
+    norm_w = jnp.stack([
+        jnp.tile(wq_n, h // hd), jnp.tile(wk_n, h // hd),
+        jnp.ones((h,), jnp.float32),
+    ])
+
+    for w8a8 in (False, True):
+        monkeypatch.setenv("LOONGX_W8A8", "1" if w8a8 else "0")
+        blk = 1
+        q, kk, v = quant_qkv_stacked(
+            x, wq3, scale3, bias3, norm_w, jnp.int32(blk), hd
+        )
+        z = (
+            np.asarray(x, np.float32)
+            @ (np.asarray(wq3[blk], np.float32) * np.asarray(scale3[blk]))
+            + np.asarray(bias3[blk])
+        )
+        zq, zk, zv = np.split(z, 3, axis=-1)
+
+        def per_head_rms(t, w):
+            t4 = jnp.asarray(t).reshape(m, h // hd, hd)
+            return np.asarray(rms_norm(t4, w)).reshape(m, h)
+
+        # W8A8 carries additive activation-quant noise (~sqrt(K)·absmax/254
+        # per output element) that dominates near-zero outputs — bound the
+        # worst element absolutely and the distribution by relative RMS.
+        tol = dict(atol=0.25, rtol=8e-2) if w8a8 else dict(atol=3e-2, rtol=3e-2)
+        for got, ref in (
+            (q, per_head_rms(zq, wq_n)),
+            (kk, per_head_rms(zk, wk_n)),
+            (v, zv),
+        ):
+            g = np.asarray(got, np.float32)
+            np.testing.assert_allclose(g, ref, **tol)
+            rel_rms = np.sqrt(np.mean(((g - ref) / (np.abs(ref) + 1)) ** 2))
+            assert rel_rms < 2e-2, (w8a8, rel_rms)
+
+
+def test_add_lora_refuses_fused_tree():
+    """add_lora on a qkv-fused tree must hard-fail (its q/k/v targets no
+    longer exist; silently skipping them would train the wrong adapters)."""
+    import pytest
+
+    from loongx_tpu.models.flux.model import FluxConfig, init_flux_params
+    from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
+    from loongx_tpu.train.lora import add_lora
+
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    params["double_blocks"] = fuse_qkv_projections(
+        quantize_tree(params["double_blocks"])
+    )
+    with pytest.raises(ValueError, match="fuse_qkv=False"):
+        add_lora(jax.random.key(1), params, r=2)
