@@ -167,7 +167,11 @@ class LoongXPipeline:
         if dit and "flux" in self.params:
             self.params["flux"] = quantize_tree(self.params["flux"])
             if fuse_qkv:
-                self.params["flux"] = fuse_qkv_projections(self.params["flux"])
+                # consume=True: the transform's peak HBM is one fused stack,
+                # not fused+unfused — matters on the ~14 GiB serving target
+                self.params["flux"] = fuse_qkv_projections(
+                    self.params["flux"], consume=True
+                )
         if text:
             for name in ("t5", "clip"):
                 if name in self.params:

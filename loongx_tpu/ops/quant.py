@@ -150,10 +150,13 @@ def fuse_qkv_projections(flux_params: Params, consume: bool = False) -> Params:
     12B on a ~14 GiB chip).  Use it when the caller is replacing its tree.
     """
     def fuse3(a, b, c):
+        # heterogeneous triples (e.g. a quantize predicate excluded one of
+        # q/k/v, or mismatched extra leaves) cannot fuse losslessly — leave
+        # them unfused rather than KeyError mid-walk or drop state
+        if not (set(a) == set(b) == set(c)):
+            return None
         fused: Params = {}
         for name in a:
-            if name.startswith("lora"):
-                return None
             fused[name] = jnp.concatenate(
                 [a[name], b[name], c[name]], axis=-1
             )

@@ -36,6 +36,26 @@ def use_w8a8() -> bool:
     return os.environ.get("LOONGX_W8A8", "0") == "1"
 
 
+def _accum_tile(acc_ref, x_ref, w_int8, w8a8: bool):
+    """Shared MAC body for every quant kernel: either the W8A8 path
+    (per-row dynamic activation int8 quant -> native s8xs8->s32 MXU dot ->
+    fp32 rescale) or the weight-only path (int8 weight dequantised to bf16
+    in VMEM, bf16 MXU dot, fp32 accumulation).  ``w_int8`` is the
+    already-indexed [block_k, block_n] weight tile."""
+    if w8a8:
+        x = x_ref[...].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+        x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+        acc_i32 = jax.lax.dot(x_q, w_int8, preferred_element_type=jnp.int32)
+        acc_ref[...] += acc_i32.astype(jnp.float32) * x_scale
+    else:
+        acc_ref[...] += jax.lax.dot(
+            x_ref[...], w_int8.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+
 def _epilogue(acc, scale_ref, bias_ref, activation):
     """Shared store epilogue: per-channel rescale, optional bias, optional
     fused activation (all fp32, in VMEM) — fusing the activation here saves
@@ -59,10 +79,7 @@ def _qmm_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w = wq_ref[...].astype(jnp.bfloat16)  # int8 -> bf16 in VMEM
-    acc_ref[...] += jax.lax.dot(
-        x_ref[...], w, preferred_element_type=jnp.float32
-    )
+    _accum_tile(acc_ref, x_ref, wq_ref[...], w8a8=False)
 
     @pl.when(ki == num_k - 1)
     def _store():
@@ -288,14 +305,7 @@ def _qmm_w8a8_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...].astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)  # [bm, 1]
-    x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
-    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
-    acc_i32 = jax.lax.dot(
-        x_q, wq_ref[...], preferred_element_type=jnp.int32
-    )
-    acc_ref[...] += acc_i32.astype(jnp.float32) * x_scale
+    _accum_tile(acc_ref, x_ref, wq_ref[...], w8a8=True)
 
     @pl.when(ki == num_k - 1)
     def _store():
@@ -426,12 +436,7 @@ def _qmm_w8a8_stacked_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...].astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-    x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
-    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
-    acc_i32 = jax.lax.dot(x_q, wq_ref[0], preferred_element_type=jnp.int32)
-    acc_ref[...] += acc_i32.astype(jnp.float32) * x_scale
+    _accum_tile(acc_ref, x_ref, wq_ref[0], w8a8=True)
 
     @pl.when(ki == num_k - 1)
     def _store():
@@ -452,10 +457,7 @@ def _qmm_stacked_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w = wq_ref[0].astype(jnp.bfloat16)
-    acc_ref[...] += jax.lax.dot(
-        x_ref[...], w, preferred_element_type=jnp.float32
-    )
+    _accum_tile(acc_ref, x_ref, wq_ref[0], w8a8=False)
 
     @pl.when(ki == num_k - 1)
     def _store():
@@ -790,18 +792,7 @@ def _qmm_qkv_stacked_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    if w8a8:
-        x = x_ref[...].astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-        x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
-        x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
-        acc_i32 = jax.lax.dot(x_q, wq_ref[0], preferred_element_type=jnp.int32)
-        acc_ref[...] += acc_i32.astype(jnp.float32) * x_scale
-    else:
-        w = wq_ref[0].astype(jnp.bfloat16)
-        acc_ref[...] += jax.lax.dot(
-            x_ref[...], w, preferred_element_type=jnp.float32
-        )
+    _accum_tile(acc_ref, x_ref, wq_ref[0], w8a8=w8a8)
 
     @pl.when(ki == num_k - 1)
     def _store():
@@ -838,11 +829,49 @@ def quant_qkv_stacked(
 
     Forward-only (serving): LoRA-carrying projections are never fused
     (ops/quant.fuse_qkv_projections skips them), so no custom_vjp needed.
+    Shapes the stacked tiling can't cover (K not divisible by the k-tile,
+    H not a lane multiple on hardware) fall back to the flat kernel on a
+    sliced stack + XLA split/RMS, mirroring `_quant_matmul_stacked_jit`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if w8a8 is None:
         w8a8 = use_w8a8()
+    k = x.shape[1]
+    n3 = w_q3.shape[-1]
+    h = n3 // 3
+    block_n = _qkv_block_n(h, head_dim)
+    _, block_k = _stacked_blocks(k, n3)
+    block_k = min(block_k, k)
+    supported = (
+        n3 % 3 == 0
+        and h % head_dim == 0
+        and k % block_k == 0
+        # on hardware the weight/out N-tile must be a lane multiple (the
+        # [NB, K, 3H] block can never equal the full 3H axis)
+        and (interpret or block_n % 128 == 0)
+    )
+    if not supported:
+        qmm = quant_matmul_w8a8 if w8a8 else quant_matmul
+        y = qmm(
+            x, w_q3[blk], scale3[blk],
+            bias=bias3[blk], interpret=interpret,
+        ).astype(jnp.float32)
+        q, kk, v = jnp.split(y, 3, axis=-1)
+        m = x.shape[0]
+
+        def rms(t, w_row):
+            t4 = t.reshape(m, h // head_dim, head_dim)
+            t4 = t4 * jax.lax.rsqrt(
+                jnp.mean(t4 * t4, axis=-1, keepdims=True) + 1e-6
+            )
+            return t4.reshape(m, h) * w_row.astype(jnp.float32)
+
+        return (
+            rms(q, norm_w[0]).astype(jnp.bfloat16),
+            rms(kk, norm_w[1]).astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16),
+        )
     out = _quant_qkv_stacked_jit(
         x, w_q3, scale3, bias3, norm_w, blk,
         head_dim=head_dim, block_m=block_m, interpret=interpret, w8a8=w8a8,

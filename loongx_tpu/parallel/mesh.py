@@ -127,6 +127,21 @@ def param_sharding_rules(
     """NamedSharding tree for a FLUX param tree.  Replicates everything when
     tensor_parallel=False or the tensor axis is trivial."""
     use_tp = tensor_parallel and mesh.shape.get("tensor", 1) > 1
+    if use_tp:
+        # serving-fused qkv trees are incompatible with TP: the rules shard
+        # the UNfused to_q/to_k/to_v output axes (a fused [K, 3H] column
+        # shard would split heads across q/k/v boundaries), and silently
+        # replicating the fused stacks would defeat the memory split
+        fused = [
+            _path_str(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(params)
+            if "to_qkv" in _path_str(p) or "add_qkv_proj" in _path_str(p)
+        ]
+        if fused:
+            raise ValueError(
+                "tensor parallelism requires unfused qkv projections "
+                f"(found {fused[0]}...): quantize with fuse_qkv=False"
+            )
 
     def rule(path, leaf):
         if use_tp:

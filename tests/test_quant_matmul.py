@@ -608,3 +608,59 @@ def test_add_lora_refuses_fused_tree():
     )
     with pytest.raises(ValueError, match="fuse_qkv=False"):
         add_lora(jax.random.key(1), params, r=2)
+
+
+def test_tp_sharding_refuses_fused_tree():
+    """param_sharding_rules under a real tensor axis must reject a
+    qkv-fused tree (the TP rules shard the unfused projection axes;
+    silently replicating the fused stacks would defeat the memory split)."""
+    import pytest
+
+    from loongx_tpu.models.flux.model import FluxConfig, init_flux_params
+    from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
+    from loongx_tpu.parallel.mesh import make_mesh, param_sharding_rules
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    params["double_blocks"] = fuse_qkv_projections(
+        quantize_tree(params["double_blocks"])
+    )
+    mesh = make_mesh(tensor=2)
+    with pytest.raises(ValueError, match="fuse_qkv=False"):
+        param_sharding_rules(params, mesh)
+    # unfused trees still shard fine
+    clean = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    param_sharding_rules(clean, mesh)
+
+
+def test_qkv_stacked_fallback_for_odd_shapes():
+    """K not divisible by the stacked k-tile must route to the flat-kernel
+    fallback and still produce correct normed q/k/v."""
+    from loongx_tpu.ops.nn import rms_norm
+    from loongx_tpu.ops.quant_matmul import quant_qkv_stacked
+
+    rng = np.random.default_rng(5)
+    nb, k, h, hd, m = 2, 1664, 64, 32, 8  # 1664 % 1536 != 0 -> fallback
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.float32)
+    wq3 = jnp.asarray(rng.integers(-127, 128, (nb, k, 3 * h)), np.int8)
+    scale3 = jnp.asarray(
+        np.full((nb, 1, 3 * h), 1e-3), jnp.float32
+    )
+    bias3 = jnp.zeros((nb, 1, 3 * h), jnp.float32)
+    norm_w = jnp.ones((3, h), jnp.float32)
+    q, kk, v = quant_qkv_stacked(
+        x, wq3, scale3, bias3, norm_w, jnp.int32(0), hd
+    )
+    z = np.asarray(x) @ (np.asarray(wq3[0], np.float32) * np.asarray(scale3[0]))
+    zq, zk, zv = np.split(z, 3, axis=-1)
+    ref_q = np.asarray(
+        rms_norm(jnp.asarray(zq).reshape(m, h // hd, hd))
+    ).reshape(m, h)
+    np.testing.assert_allclose(
+        np.asarray(q, np.float32), ref_q, atol=5e-2, rtol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(v, np.float32), zv, atol=5e-2, rtol=5e-2
+    )
