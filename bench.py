@@ -71,6 +71,12 @@ def main():
     if full and "LOONGX_W8A8" not in os.environ:
         os.environ["LOONGX_W8A8"] = "1"
     w8a8 = os.environ.get("LOONGX_W8A8") == "1" and full
+    # int8-MXU QK^T logits (138 vs 131 TF/s kernel-side; full-depth
+    # agreement with bf16 scores: rel-L2 = 7e-4 — benchmarks/
+    # int8_attn_agreement.py).  LOONGX_INT8_ATTN=0 opts out.
+    if full and w8a8 and "LOONGX_INT8_ATTN" not in os.environ:
+        os.environ["LOONGX_INT8_ATTN"] = "1"
+    int8_attn = os.environ.get("LOONGX_INT8_ATTN") == "1" and full
 
     cfg = (
         FluxConfig.flux_dev()
@@ -148,6 +154,8 @@ def main():
         # last-resort fallback: the lite proxy, so the run still produces a
         # measured number rather than nothing
         try:
+            os.environ["LOONGX_INT8_ATTN"] = "0"  # lite fallback: bf16 attn
+            int8_attn = False
             lcfg = FluxConfig(num_double_blocks=8, num_single_blocks=16)
             lparams = init_flux_params(ks[0], lcfg, dtype=jnp.bfloat16)
 
@@ -176,6 +184,7 @@ def main():
         "metric": f"edits/sec/chip ({height}x{width}, {steps}-step, cond-image, "
         f"{'flux-dev-int8 19+38' if full else 'flux-lite 8+16'}"
         f"{' w8a8' if w8a8 else ''}"
+        f"{' int8-attn' if int8_attn else ''}"
         f"{', batch ' + str(b) if b > 1 else ''}"
         f"{'' if decode is not None else ', no-vae'})",
         "value": round(b / dt, 4) if dt else 0.0,

@@ -51,6 +51,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def use_int8_attn() -> bool:
+    """Serving knob: LOONGX_INT8_ATTN=1 computes the QK^T logits on the
+    int8 MXU (per-query-row / per-key-tile dynamic scales, fp32 softmax and
+    bf16 PV unchanged) — ~2x the bf16 MXU rate on the score matmul.  Adds
+    ~1% RMS logit noise on top of bf16; OFF by default — measure end-to-end
+    agreement (benchmarks/) before serving with it.  Read at call time (the
+    wrapper passes it as a static arg, so it participates in jit caching).
+    Serving-only: gradients recompute probabilities from bf16 scores."""
+    import os
+
+    return os.environ.get("LOONGX_INT8_ATTN", "0") == "1"
+
+
 # Forward block caps (with VMEM_LIMIT raised, big tiles win: measured on
 # v5e at S=2560 — (512,512): 76 TF/s, (1280,1280): 121 TF/s,
 # (1280,2560): 138 TF/s = the chip's matmul roofline).  Full-row kv tiles
@@ -143,6 +156,7 @@ def _fwd_kernel(
     block_k: int,
     num_kv: int,
     bshd: bool = False,
+    int8_qk: bool = False,
 ):
     if save_residuals:
         o_ref, m_out_ref, l_out_ref, m_ref, l_ref, acc_ref = refs
@@ -163,9 +177,26 @@ def _fwd_kernel(
         r = _pair_swap_matrix(q.shape[-1])
         q = _rope_rotate(q, cos_q_ref[...], sin_q_ref[...], r)
         k = _rope_rotate(k, cos_k_ref[...], sin_k_ref[...], r)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [block_q, block_k]
+    if int8_qk:
+        # int8 MXU scores: per-query-row scales (broadcast over columns —
+        # no transpose) x one per-key-tile scalar (post-RMS-norm key rows
+        # are near-homogeneous, so a tile scalar costs <0.5% extra noise)
+        qf = q.astype(jnp.float32)
+        q_absmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
+        q_scale = jnp.where(q_absmax == 0, 1.0, q_absmax / 127.0)
+        q_q = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
+        kf = k.astype(jnp.float32)
+        k_absmax = jnp.max(jnp.abs(kf))
+        k_scale = jnp.where(k_absmax == 0, 1.0, k_absmax / 127.0)
+        k_q = jnp.clip(jnp.round(kf / k_scale), -127, 127).astype(jnp.int8)
+        s = jax.lax.dot_general(
+            q_q, k_q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (q_scale * k_scale)
+    else:
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
     s = s * scale
 
     row_ids = (
@@ -225,7 +256,7 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=(
         "cond_start", "mode", "block_q", "block_k", "use_rope",
-        "save_residuals", "interpret", "bshd",
+        "save_residuals", "interpret", "bshd", "int8_qk",
     ),
 )
 def _flash_fwd(
@@ -243,6 +274,7 @@ def _flash_fwd(
     interpret: bool,
     save_residuals: bool = False,
     bshd: bool = False,
+    int8_qk: bool = False,
 ):
     if bshd:
         b, s, h, d = q.shape
@@ -285,6 +317,7 @@ def _flash_fwd(
         block_k=block_k,
         num_kv=num_kv,
         bshd=bshd,
+        int8_qk=int8_qk,
     )
     if use_rope:
         rope_specs = [
@@ -687,24 +720,26 @@ def _bias_for(s_q: int, cond_start: int, mode: str, cbias: jnp.ndarray):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
 )
 def _flash_attention(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                     block_k, use_rope, interpret, bshd):
+                     block_k, use_rope, interpret, bshd, int8_qk=False):
     return _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                      block_k, use_rope, interpret, bshd=bshd)
+                      block_k, use_rope, interpret, bshd=bshd,
+                      int8_qk=int8_qk)
 
 
 def _flash_attention_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                         block_k, use_rope, interpret, bshd):
+                         block_k, use_rope, interpret, bshd, int8_qk=False):
     if mode == "cfactor":
         # cbias needs a gradient — XLA recompute backward keeps it exact
         o = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                       block_k, use_rope, interpret, bshd=bshd)
+                       block_k, use_rope, interpret, bshd=bshd,
+                       int8_qk=int8_qk)
         return o, (q, k, v, cbias, cos, sin, None, None, None)
     o, m, l = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
                          block_k, use_rope, interpret, save_residuals=True,
-                         bshd=bshd)
+                         bshd=bshd, int8_qk=int8_qk)
     return o, (q, k, v, cbias, cos, sin, o, m, l)
 
 
@@ -729,7 +764,7 @@ def _xla_rope_bwd(g, cos, sin):
 
 
 def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
-                         interpret, bshd, residuals, do):
+                         interpret, bshd, int8_qk, residuals, do):
     """Backward pass.
 
     Mask modes (union / no_union / independent) use the Pallas dKV + dQ
@@ -756,6 +791,7 @@ def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
         t = functools.partial(jnp.swapaxes, axis1=1, axis2=2)
         outs = _flash_attention_bwd(
             cond_start, mode, block_q, block_k, use_rope, interpret, False,
+            int8_qk,
             (t(q), t(k), t(v), cbias, cos, sin, None, None, None), t(do),
         )
         dq, dk, dv, dcbias, dcos, dsin = outs
@@ -847,5 +883,5 @@ def flash_attention(
         cos = sin = jnp.zeros((8, d), jnp.float32)
     return _flash_attention(
         q, k, v, cbias, cos, sin, cond_start, mode, block_q, block_k,
-        use_rope, interpret, layout == "bshd",
+        use_rope, interpret, layout == "bshd", use_int8_attn(),
     )

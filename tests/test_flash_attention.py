@@ -287,3 +287,40 @@ def test_unified_attention_bshd_layout():
         np.testing.assert_allclose(
             np.asarray(t(out)), np.asarray(ref), atol=2e-5, rtol=2e-5
         )
+
+
+def test_int8_qk_scores_close_to_exact(monkeypatch):
+    """LOONGX_INT8_ATTN=1: int8-MXU QK^T logits must reproduce the exact
+    attention output within combined int8 logit noise, for every mask mode
+    and with fused RoPE."""
+    import numpy as np
+
+    from loongx_tpu.ops.flash_attention import flash_attention
+    from loongx_tpu.ops.rope import rope_embed
+
+    b, h, s, d = 1, 2, 256, 64
+    cond_start = 192
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 32, (s, 3)), jnp.float32)
+    rope = rope_embed(ids, (16, 24, 24))
+
+    for mode in ("union", "no_union", "independent"):
+        monkeypatch.setenv("LOONGX_INT8_ATTN", "0")
+        exact = flash_attention(
+            q, k, v, cond_start=cond_start, mode=mode, rope=rope
+        )
+        monkeypatch.setenv("LOONGX_INT8_ATTN", "1")
+        got = flash_attention(
+            q, k, v, cond_start=cond_start, mode=mode, rope=rope
+        )
+        e = np.asarray(exact, np.float32)
+        g = np.asarray(got, np.float32)
+        # attention outputs are convex combinations of v (O(1) here):
+        # int8 logit noise perturbs the softmax weights slightly
+        rms = np.sqrt(np.mean((g - e) ** 2)) / np.sqrt(np.mean(e ** 2))
+        assert rms < 0.03, (mode, rms)
+        corr = np.corrcoef(g.ravel(), e.ravel())[0, 1]
+        assert corr > 0.999, (mode, corr)
