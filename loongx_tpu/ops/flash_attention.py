@@ -731,6 +731,12 @@ def _flash_attention(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
 
 def _flash_attention_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
                          block_k, use_rope, interpret, bshd, int8_qk=False):
+    # This path only runs under differentiation (training).  The backward
+    # kernels rebuild probabilities from bf16 scores, so an int8 forward
+    # would make the saved (m, l) stats inconsistent with the recomputed
+    # probs — force bf16 scores whenever gradients flow (the int8 knob is a
+    # serving-only optimization; see use_int8_attn).
+    int8_qk = False
     if mode == "cfactor":
         # cbias needs a gradient — XLA recompute backward keeps it exact
         o = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,

@@ -324,3 +324,30 @@ def test_int8_qk_scores_close_to_exact(monkeypatch):
         assert rms < 0.03, (mode, rms)
         corr = np.corrcoef(g.ravel(), e.ravel())[0, 1]
         assert corr > 0.999, (mode, corr)
+
+
+def test_int8_qk_forced_off_under_grad(monkeypatch):
+    """Training safety: with LOONGX_INT8_ATTN=1, gradients must be computed
+    from the bf16-score forward (the backward kernels rebuild probabilities
+    from bf16 scores — int8 (m, l) stats would be inconsistent)."""
+    import numpy as np
+
+    from loongx_tpu.ops.flash_attention import flash_attention
+
+    b, h, s, d = 1, 2, 128, 64
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+
+    def loss(q):
+        return jnp.sum(
+            flash_attention(q, k, v, cond_start=96).astype(jnp.float32) * cot
+        )
+
+    monkeypatch.setenv("LOONGX_INT8_ATTN", "0")
+    g0 = np.asarray(jax.grad(loss)(q))
+    monkeypatch.setenv("LOONGX_INT8_ATTN", "1")
+    g1 = np.asarray(jax.grad(loss)(q))
+    np.testing.assert_array_equal(g0, g1)
