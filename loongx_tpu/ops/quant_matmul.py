@@ -468,10 +468,20 @@ def _qmm_stacked_kernel(
 
 
 def _stacked_blocks(k: int, n: int):
-    """(block_n, block_k) for a stacked call — same policy as the flat W8A8
-    path; the stacked arrays are never padded (see `_stacked_ok`)."""
+    """(block_n, block_k) for a stacked call; the stacked arrays are never
+    padded (see `_stacked_ok`).
+
+    v5e sweep at the full-dev shapes (benchmarks/stacked_tile_sweep.py):
+    3072-wide k-tiles beat the flat-path 1536/1024 policy by 13-16% on the
+    K=3072 linears (one k-iteration: no accumulator loop re-entry) and by
+    4-5% on the wide-K ones — ff-in (2048,3072) = 344 TF/s, qkv-fused
+    (1024,3072) = 315-317, proj-out (1024,3072) = 315.  Non-3072-multiple
+    K falls back to the flat-policy tiles."""
     wide_n = n >= 4 * k
-    return (2048 if wide_n else 1024), (1024 if wide_n else 1536)
+    block_n = 2048 if wide_n else 1024
+    if k % 3072 == 0:
+        return block_n, 3072
+    return block_n, (1024 if wide_n else 1536)
 
 
 def _stacked_ok(k: int, n: int, block_n: int, block_k: int) -> bool:
@@ -490,6 +500,8 @@ def quant_matmul_stacked(
     block_m: int = 512,
     interpret: Optional[bool] = None,
     w8a8: Optional[bool] = None,
+    block_n: Optional[int] = None,   # tile overrides (benchmarking; must
+    block_k: Optional[int] = None,   # divide N / K — no stack padding)
 ) -> jnp.ndarray:
     # Resolve env-dependent defaults OUTSIDE the jit so they participate in
     # the cache key (a trace-time `use_w8a8()` read would pin the first
@@ -501,24 +513,27 @@ def quant_matmul_stacked(
     return _quant_matmul_stacked_jit(
         x, w_q3, scale3, blk, bias3,
         activation=activation, block_m=block_m, interpret=interpret,
-        w8a8=w8a8,
+        w8a8=w8a8, block_n=block_n, block_k=block_k,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "interpret", "activation", "w8a8"),
+    static_argnames=(
+        "block_m", "interpret", "activation", "w8a8", "block_n", "block_k",
+    ),
 )
 def _quant_matmul_stacked_jit(
     x, w_q3, scale3, blk, bias3=None, *,
     activation=None, block_m=512, interpret=False, w8a8=False,
+    block_n=None, block_k=None,
 ):
     m, k = x.shape
     nb, k2, n = w_q3.shape
     assert k == k2 and scale3.shape == (nb, 1, n), (x.shape, w_q3.shape, scale3.shape)
-    block_n, block_k = _stacked_blocks(k, n)
-    block_n = min(block_n, n)
-    block_k = min(block_k, k)
+    auto_n, auto_k = _stacked_blocks(k, n)
+    block_n = min(block_n or auto_n, n)
+    block_k = min(block_k or auto_k, k)
     if not _stacked_ok(k, n, block_n, block_k):
         # fall back to the flat kernel on a sliced copy (rare small shapes)
         qmm = quant_matmul_w8a8 if w8a8 else quant_matmul
