@@ -471,14 +471,17 @@ def _stacked_blocks(k: int, n: int):
     """(block_n, block_k) for a stacked call; the stacked arrays are never
     padded (see `_stacked_ok`).
 
-    v5e sweep at the full-dev shapes (benchmarks/stacked_tile_sweep.py):
-    3072-wide k-tiles beat the flat-path 1536/1024 policy by 13-16% on the
-    K=3072 linears (one k-iteration: no accumulator loop re-entry) and by
-    4-5% on the wide-K ones — ff-in (2048,3072) = 344 TF/s, qkv-fused
-    (1024,3072) = 315-317, proj-out (1024,3072) = 315.  Non-3072-multiple
-    K falls back to the flat-policy tiles."""
+    v5e sweep at the full-dev shapes (benchmarks/stacked_tile_sweep.py +
+    _sweep2): (3072, 3072) tiles win broadly — one k-iteration on the
+    K=3072 linears, 3072-wide N chunks — at 344-354 TF/s per shape vs
+    259-302 under the flat-path (1024/2048, 1536/1024) tiles; every
+    full-dev linear dimension is a 3072 multiple.  Non-multiples fall back
+    to the flat-policy tiles."""
     wide_n = n >= 4 * k
-    block_n = 2048 if wide_n else 1024
+    if n % 3072 == 0:
+        block_n = 3072
+    else:
+        block_n = 2048 if wide_n else 1024
     if k % 3072 == 0:
         return block_n, 3072
     return block_n, (1024 if wide_n else 1536)
@@ -822,7 +825,7 @@ def _qmm_qkv_stacked_kernel(
 def _qkv_block_n(h: int, head_dim: int) -> int:
     """Largest tile <=1024 dividing H (so no tile straddles the q/k/v
     boundary) and a multiple of head_dim (so RMS groups stay whole)."""
-    for bn in (1024, 768, 512, 384, 256, 128):
+    for bn in (3072, 1024, 768, 512, 384, 256, 128):
         if h % bn == 0 and bn % head_dim == 0:
             return bn
     return h
