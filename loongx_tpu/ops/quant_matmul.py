@@ -156,7 +156,7 @@ def quant_matmul(
             # wide-N ff tiles' double-buffered working set; the fused bias
             # input tipped it over -> give the kernel the same generous
             # budget as the flash kernels
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k_pad * n_pad,
@@ -246,7 +246,7 @@ def quant_matmul_t(
             # wide-N ff tiles' double-buffered working set; the fused bias
             # input tipped it over -> give the kernel the same generous
             # budget as the flash kernels
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k_pad * n_pad,
@@ -384,7 +384,7 @@ def quant_matmul_w8a8(
             # wide-N ff tiles' double-buffered working set; the fused bias
             # input tipped it over -> give the kernel the same generous
             # budget as the flash kernels
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k_pad * n_pad,
@@ -576,7 +576,7 @@ def _quant_matmul_stacked_jit(
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n,
@@ -652,7 +652,7 @@ def quant_matmul_t_stacked(
         out_shape=jax.ShapeDtypeStruct((m_pad, k), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n,
@@ -953,7 +953,7 @@ def _quant_qkv_stacked_jit(
         out_shape=jax.ShapeDtypeStruct((3, m_pad, h), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n3,
