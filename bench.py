@@ -76,7 +76,11 @@ def main():
     # int8_attn_agreement.py).  LOONGX_INT8_ATTN=0 opts out.
     if full and w8a8 and "LOONGX_INT8_ATTN" not in os.environ:
         os.environ["LOONGX_INT8_ATTN"] = "1"
-    int8_attn = os.environ.get("LOONGX_INT8_ATTN") == "1" and full
+    # label truthfully: the env var reaches flash_attention regardless of
+    # full/lite (only the explicit lite *fallback* forces it off), and the
+    # kernel itself gates int8 scores to the single-(S,S)-tile policy
+    # (S <= 2560 after 128-padding) — at 1024px the label must not claim it
+    int8_attn = os.environ.get("LOONGX_INT8_ATTN") == "1"
 
     cfg = (
         FluxConfig.flux_dev()
@@ -106,6 +110,8 @@ def main():
     b, s_txt = int(os.environ.get("BENCH_BATCH", "1")), 512
     lat_h, lat_w = height // 8, width // 8
     s_img = (lat_h // 2) * (lat_w // 2)
+    s_total = 2 * s_img + s_txt  # [txt | img | cond] unified sequence
+    int8_attn = int8_attn and -(-s_total // 128) * 128 <= 2560
     latents = jax.random.normal(ks[2], (b, s_img, cfg.in_channels), jnp.bfloat16)
     txt = jax.random.normal(ks[3], (b, s_txt, cfg.joint_dim), jnp.bfloat16)
     pooled = jax.random.normal(ks[4], (b, cfg.pooled_dim), jnp.bfloat16)

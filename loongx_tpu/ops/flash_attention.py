@@ -297,6 +297,12 @@ def _flash_fwd(
             sin = jnp.pad(sin, [(0, s_pad - s), (0, 0)])
     num_q = s_pad // block_q
     num_kv = s_pad // block_k
+    # int8 scores only pay off on the single-(S,S)-tile policy, where q/k
+    # are quantized exactly once: under multi-tile grids every q tile is
+    # re-quantized per kv step and vice versa, and the redundant VPU work
+    # swamps the MXU gain (measured S=8704: 9.39 ms int8 vs 8.26 bf16).
+    if num_q > 1 or num_kv > 1:
+        int8_qk = False
     if bshd:
         # view as [B, S, H*D]: head h is the D-wide column strip h*D:(h+1)*D,
         # sliced by the BlockSpec index maps (free bitcast, no transpose)

@@ -513,6 +513,12 @@ def quant_matmul_stacked(
         interpret = jax.default_backend() != "tpu"
     if w8a8 is None:
         w8a8 = use_w8a8()
+    # explicit tile overrides must divide the operand dims — a silent
+    # _stacked_ok fallback would time the FLAT kernel under a stacked label
+    if block_n is not None:
+        assert w_q3.shape[-1] % block_n == 0, (w_q3.shape, block_n)
+    if block_k is not None:
+        assert x.shape[-1] % block_k == 0, (x.shape, block_k)
     return _quant_matmul_stacked_jit(
         x, w_q3, scale3, blk, bias3,
         activation=activation, block_m=block_m, interpret=interpret,
@@ -823,8 +829,9 @@ def _qmm_qkv_stacked_kernel(
 
 
 def _qkv_block_n(h: int, head_dim: int) -> int:
-    """Largest tile <=1024 dividing H (so no tile straddles the q/k/v
-    boundary) and a multiple of head_dim (so RMS groups stay whole)."""
+    """Largest candidate tile dividing H (so no tile straddles the q/k/v
+    boundary) and a multiple of head_dim (so RMS groups stay whole);
+    3072-first per the stacked tile sweep (full-width N chunks win)."""
     for bn in (3072, 1024, 768, 512, 384, 256, 128):
         if h % bn == 0 and bn % head_dim == 0:
             return bn

@@ -351,3 +351,51 @@ def test_int8_qk_forced_off_under_grad(monkeypatch):
     monkeypatch.setenv("LOONGX_INT8_ATTN", "1")
     g1 = np.asarray(jax.grad(loss)(q))
     np.testing.assert_array_equal(g0, g1)
+
+
+def test_int8_qk_bshd_with_padding(monkeypatch):
+    """int8 scores in the PRODUCTION serving layout (bshd) with a
+    non-tile-multiple sequence (padded keys masked): must match the exact
+    path within int8 logit noise."""
+    import numpy as np
+
+    from loongx_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = 1, 200, 2, 64  # pads to 256
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    monkeypatch.setenv("LOONGX_INT8_ATTN", "0")
+    exact = flash_attention(q, k, v, cond_start=144, layout="bshd")
+    monkeypatch.setenv("LOONGX_INT8_ATTN", "1")
+    got = flash_attention(q, k, v, cond_start=144, layout="bshd")
+    e = np.asarray(exact, np.float32)
+    g = np.asarray(got, np.float32)
+    rms = np.sqrt(np.mean((g - e) ** 2)) / np.sqrt(np.mean(e ** 2))
+    assert 0 < rms < 0.03, rms  # >0: the int8 path actually ran
+
+
+def test_int8_qk_auto_disabled_on_multi_tile(monkeypatch):
+    """Multi-tile grids re-quantize q/k per grid step (measured slower) —
+    the kernel must silently fall back to bf16 scores there."""
+    import numpy as np
+
+    from loongx_tpu.ops.flash_attention import flash_attention
+
+    b, h, s, d = 1, 1, 512, 64
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+
+    monkeypatch.setenv("LOONGX_INT8_ATTN", "0")
+    exact = flash_attention(
+        q, k, v, cond_start=s, block_q=256, block_k=256
+    )
+    monkeypatch.setenv("LOONGX_INT8_ATTN", "1")
+    got = flash_attention(
+        q, k, v, cond_start=s, block_q=256, block_k=256
+    )
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(got))
