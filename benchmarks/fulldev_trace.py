@@ -1,20 +1,23 @@
 """Per-op device-trace breakdown of ONE full-dev (19+38, int8 W8A8)
-flux_forward at the 512 px operating point — shows where each of the
-~213 ms/step of the headline bench goes, by kernel category and top ops.
+flux_forward at the 512 px operating point, under the same serving
+defaults as bench.py (W8A8 + int8-attn + fused qkv + stacked tiles) —
+shows where each ~165 ms step of the headline bench goes, by kernel
+category and top ops.
 
-Run on the TPU host:  LOONGX_W8A8=1 python benchmarks/fulldev_trace.py
+Run on the TPU host:  python -m benchmarks.fulldev_trace
 """
 import functools
 import os
 
 os.environ.setdefault("LOONGX_W8A8", "1")
+os.environ.setdefault("LOONGX_INT8_ATTN", "1")
 
 import jax
 import jax.numpy as jnp
 
 from loongx_tpu.models.flux.model import FluxConfig, init_flux_params, flux_forward
 from loongx_tpu.ops.latents import latent_image_ids
-from loongx_tpu.ops.quant import random_quantized_like
+from loongx_tpu.ops.quant import fuse_qkv_projections, random_quantized_like
 from loongx_tpu.utils.device_bench import device_op_times
 
 cfg = FluxConfig.flux_dev()
@@ -23,6 +26,7 @@ ks = jax.random.split(key, 8)
 params = random_quantized_like(
     ks[0], lambda: init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
 )
+params = fuse_qkv_projections(params, consume=True)
 
 S_TXT = 512
 size = int(os.environ.get("BENCH_SIZE", "512"))
