@@ -1,9 +1,18 @@
-"""Headline benchmark: neural-conditioned 512x512 28-step edit, edits/sec/chip.
+"""Headline benchmark: neural-conditioned 512x512 28-step edit, measured
+END-TO-END on one chip — every stage of the reference's deployed edit
+pipeline (/root/reference/inference.py:77-117 -> src/flux/generate.py:152-380):
 
-Mirrors the reference's deployed operating point (BASELINE.md: 512x512,
-28 steps, guidance 3.5, 512 text tokens, one condition image — reference
-/root/reference/src/flux/generate.py:30,32,43): text-embed conditioned FLUX
-denoise loop + condition tokens + VAE decode, end to end on one chip.
+  1. T5-XXL + CLIP-L prompt encode (int8, staged then freed — the
+     single-chip serving recipe, models/pipeline.py free_text_encoders)
+  2. CS3 biosignal encode + DGF fusion (EEG/PPG/fNIRS/motion -> brain
+     embeds; deployed fuse_flag=False mode, reference inference.py:115)
+  3. condition-image VAE encode -> packed cond tokens
+  4. 28-step flow-match Euler denoise (one jitted lax.scan)
+  5. VAE decode
+
+The headline value is edits/sec over the SUM of all stage latencies; the
+per-stage breakdown is itemized in the JSON extras, along with the
+denoise+decode-only number for continuity with earlier rounds.
 
 By default benchmarks the FULL FLUX.1-dev geometry (19 double + 38 single
 blocks, 3072 hidden, 24 heads x 128, ~12B params) with int8-quantized
@@ -12,13 +21,15 @@ matmuls (W8A8 by default) so the whole 11.9 GB weight set resides in a
 instead.  The reference publishes no latency numbers (SURVEY §6), so
 vs_baseline is null.
 
-Failure containment: every stage is wrapped; if a later stage fails the
-benchmark still emits ONE JSON line with whatever numbers were measured plus
-an "errors" field, and exits 0 as long as at least one timing exists.
+Failure containment: every stage is wrapped; if an upstream stage fails
+the benchmark still emits ONE JSON line with whatever numbers were
+measured plus an "errors" field, and the metric label only claims the
+stages that actually ran.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
+import gc
 import json
 import os
 import sys
@@ -35,61 +46,158 @@ def _force(x):
     return float(jnp.asarray(x).mean())
 
 
-def _measure(fn, arg):
+def _force_tree(t):
+    for leaf in jax.tree.leaves(t):
+        _force(leaf)
+        break
+    return t
+
+
+def _measure(fn, *args):
     """Warmup/compile once, then mean seconds per call over BENCH_ITERS —
-    the single timing methodology for the main path and the lite fallback."""
-    _force(fn(arg))
+    the single timing methodology for every stage."""
+    out = fn(*args)
+    for leaf in jax.tree.leaves(out):
+        _force(leaf)
     n = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
-    outs = [fn(arg) for _ in range(n)]
+    outs = [fn(*args) for _ in range(n)]
     for o in outs:
-        _force(o)
+        for leaf in jax.tree.leaves(o):
+            _force(leaf)
     return (time.perf_counter() - t0) / n
 
 
 def main():
     from loongx_tpu.models.flux.model import FluxConfig, init_flux_params
     from loongx_tpu.models.flux.vae import (
-        VAEConfig, init_vae_params, vae_decode, unscale_latents,
+        VAEConfig, init_vae_params, vae_decode, vae_encode, scale_latents,
+        unscale_latents,
     )
-    from loongx_tpu.ops.latents import latent_image_ids, unpack_latents
+    from loongx_tpu.ops.latents import latent_image_ids, pack_latents, unpack_latents
     from loongx_tpu.ops.schedule import flux_sigmas
     from loongx_tpu.sampling.generate import denoise_scan
 
     errors = []
     extras = {}
+    stages = {}
 
     lite = os.environ.get("BENCH_LITE") == "1"
     full = not lite
     steps = int(os.environ.get("BENCH_STEPS", "28"))
     height = width = int(os.environ.get("BENCH_SIZE", "512"))
+    b = int(os.environ.get("BENCH_BATCH", "1"))
+    s_txt = 512
 
     # Serving mode for the int8 full-dev path: W8A8 (native int8 MXU,
-    # 193-280 TF/s on these shapes) by default — end-to-end latent agreement
-    # with the bf16 model measured at cos=0.99992 (vs 0.99997 for
-    # weight-only int8; see PARITY.md).  LOONGX_W8A8=0 opts out.
+    # 344-354 TF/s on these shapes) by default — 28-step full-trajectory
+    # latent agreement with bf16 measured in benchmarks/trajectory_agreement
+    # (PARITY.md).  LOONGX_W8A8=0 opts out.
     if full and "LOONGX_W8A8" not in os.environ:
         os.environ["LOONGX_W8A8"] = "1"
     w8a8 = os.environ.get("LOONGX_W8A8") == "1" and full
-    # int8-MXU QK^T logits (138 vs 131 TF/s kernel-side; full-depth
-    # agreement with bf16 scores: rel-L2 = 7e-4 — benchmarks/
-    # int8_attn_agreement.py).  LOONGX_INT8_ATTN=0 opts out.
+    # int8-MXU QK^T logits.  LOONGX_INT8_ATTN=0 opts out.
     if full and w8a8 and "LOONGX_INT8_ATTN" not in os.environ:
         os.environ["LOONGX_INT8_ATTN"] = "1"
     # label truthfully: the env var reaches flash_attention regardless of
-    # full/lite (only the explicit lite *fallback* forces it off), and the
-    # kernel itself gates int8 scores to the single-(S,S)-tile policy
-    # (S <= 2560 after 128-padding) — at 1024px the label must not claim it
+    # full/lite (only the explicit lite *fallback* forces it off); the
+    # kernel gates int8 scores by its tile policy (see flash_attention.py)
     int8_attn = os.environ.get("LOONGX_INT8_ATTN") == "1"
 
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 12)
+
+    # ------------------------------------------------------------------
+    # Stage 1: prompt encode — int8 T5-XXL + CLIP-L, then FREE them (the
+    # staged single-chip recipe; they cannot be co-resident with the 12B
+    # int8 DiT).  Runs FIRST so its ~5 GiB peak precedes the DiT alloc.
+    # Mirrors reference generate.py:152-165 (encode_prompt).
+    # ------------------------------------------------------------------
+    if full and os.environ.get("BENCH_E2E", "1") == "1":
+        try:
+            from loongx_tpu.models.text.t5 import (
+                T5Config, init_t5_params, t5_encode,
+            )
+            from loongx_tpu.models.text.clip import (
+                CLIPTextConfig, init_clip_params, clip_encode,
+            )
+            from loongx_tpu.ops.quant import random_quantized_like
+
+            t5_cfg = T5Config.xxl()
+            clip_cfg = CLIPTextConfig.large()
+            t5_params = random_quantized_like(
+                ks[6], lambda: init_t5_params(ks[6], t5_cfg, dtype=jnp.bfloat16)
+            )
+            clip_params = random_quantized_like(
+                ks[7], lambda: init_clip_params(ks[7], clip_cfg, dtype=jnp.bfloat16)
+            )
+            t5_ids = jnp.ones((b, s_txt), jnp.int32)
+            clip_ids = jnp.ones((b, 77), jnp.int32)
+
+            @jax.jit
+            def encode_prompt(t5_params, clip_params, t5_ids, clip_ids):
+                emb = t5_encode(t5_params, t5_cfg, t5_ids)
+                _, pooled = clip_encode(clip_params, clip_cfg, clip_ids)
+                return emb, pooled
+
+            stages["text_encode_s"] = round(
+                _measure(encode_prompt, t5_params, clip_params, t5_ids, clip_ids),
+                4,
+            )
+            del t5_params, clip_params, encode_prompt
+            gc.collect()
+        except Exception:  # noqa: BLE001 - containment by design
+            errors.append(
+                "text: " + traceback.format_exc(limit=3).strip().splitlines()[-1]
+            )
+
+        # --------------------------------------------------------------
+        # Stage 2: CS3 + DGF brain encode (reference generate.py:167-258;
+        # deployed replace mode) — bf16 encoders, real signal lengths.
+        # --------------------------------------------------------------
+        try:
+            from loongx_tpu.models.encoders import (
+                init_eeg_encoder, init_ppg_encoder, init_fnirs_encoder,
+                init_motion_encoder,
+            )
+            from loongx_tpu.models.fusion import init_dgf
+            from loongx_tpu.sampling.generate import _brain_encode_jit
+
+            enc = {
+                "eeg": init_eeg_encoder(ks[8], jnp.bfloat16),
+                "ppg": init_ppg_encoder(ks[9], jnp.bfloat16),
+                "fnirs": init_fnirs_encoder(ks[10], jnp.bfloat16),
+                "motion": init_motion_encoder(ks[11], jnp.bfloat16),
+            }
+            dgf = init_dgf(jax.random.fold_in(key, 99), jnp.bfloat16)
+            sig = lambda k, c, l: jax.random.normal(
+                jax.random.fold_in(key, k), (b, c, l), jnp.bfloat16
+            )
+            eeg, ppg = sig(1, 4, 4096), sig(2, 4, 256)
+            fnirs, motion = sig(3, 6, 512), sig(4, 6, 128)
+
+            def brain(enc, dgf, eeg, ppg, fnirs, motion):
+                return _brain_encode_jit(enc, dgf, eeg, ppg, fnirs, motion, "conv")
+
+            stages["brain_encode_s"] = round(
+                _measure(brain, enc, dgf, eeg, ppg, fnirs, motion), 4
+            )
+            del enc, dgf
+            gc.collect()
+        except Exception:  # noqa: BLE001
+            errors.append(
+                "brain: " + traceback.format_exc(limit=3).strip().splitlines()[-1]
+            )
+
+    # ------------------------------------------------------------------
+    # DiT weights (the big allocation — after the text encoders are gone)
+    # ------------------------------------------------------------------
     cfg = (
         FluxConfig.flux_dev()
         if full
         else FluxConfig(num_double_blocks=8, num_single_blocks=16)
     )
     vae_cfg = VAEConfig.flux()
-    key = jax.random.key(0)
-    ks = jax.random.split(key, 8)
     if full:
         # random int8 weights created directly (a bf16 12B init would blow
         # the 16 GB chip before quantization could run)
@@ -107,7 +215,6 @@ def main():
     else:
         flux_params = init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
 
-    b, s_txt = int(os.environ.get("BENCH_BATCH", "1")), 512
     lat_h, lat_w = height // 8, width // 8
     s_img = (lat_h // 2) * (lat_w // 2)
     s_total = 2 * s_img + s_txt  # [txt | img | cond] unified sequence
@@ -122,8 +229,8 @@ def main():
     sigmas = jnp.asarray(flux_sigmas(steps, s_img))
     guidance = jnp.full((b,), 3.5)
 
-    # --- stage: VAE decode (separable; contained so a VAE failure cannot
-    # zero out the denoise measurement) -----------------------------------
+    # --- stage: VAE (encode for the condition image, decode for the output;
+    # contained so a VAE failure cannot zero out the denoise measurement) ---
     decode = None
     vae_params = None
     try:
@@ -140,6 +247,29 @@ def main():
         errors.append("vae: " + traceback.format_exc(limit=3).strip().splitlines()[-1])
         decode = None
 
+    # Stage 3: condition-image VAE encode -> packed cond tokens (reference
+    # condition.py:106-138 encode -> pipeline_tools.encode_images)
+    if full and decode is not None and os.environ.get("BENCH_E2E", "1") == "1":
+        try:
+            cond_img = jax.random.uniform(
+                jax.random.fold_in(key, 5), (b, height, width, 3), jnp.bfloat16,
+                minval=-1.0, maxval=1.0,
+            )
+
+            @jax.jit
+            def encode_cond(vae_params, img):
+                mean, _ = vae_encode(vae_params, vae_cfg, img)
+                return pack_latents(scale_latents(vae_cfg, mean))
+
+            stages["cond_vae_encode_s"] = round(
+                _measure(encode_cond, vae_params, cond_img), 4
+            )
+        except Exception:  # noqa: BLE001
+            errors.append(
+                "cond-vae: "
+                + traceback.format_exc(limit=3).strip().splitlines()[-1]
+            )
+
     def edit(latents):
         out = denoise_scan(
             flux_params, cfg, (), latents, txt, pooled, img_ids, txt_ids,
@@ -147,7 +277,7 @@ def main():
         )
         return decode(vae_params, out) if decode is not None else out
 
-    # --- stage: compile + measure the edit loop ---------------------------
+    # --- stage: compile + measure the denoise+decode loop ------------------
     dt = None
     try:
         dt = _measure(edit, latents)
@@ -186,17 +316,34 @@ def main():
     def _params_b(p):
         return round(sum(x.size for x in jax.tree.leaves(p)) / 1e9, 2)
 
+    # ------------------------------------------------------------------
+    # Assemble: headline = end-to-end (all measured stages summed);
+    # denoise+decode alone is kept in extras for cross-round continuity.
+    # ------------------------------------------------------------------
+    upstream = sum(stages.values())
+    e2e = (dt + upstream) if dt else None
+    all_stages_ran = dt is not None and len(stages) == 3
+    scope = "end-to-end" if all_stages_ran else (
+        "denoise+decode" if not stages else
+        "partial e2e (" + "+".join(sorted(stages)) + "+denoise)"
+    )
+    if dt:
+        stages["denoise_decode_s"] = round(dt, 4)
+        extras["stages"] = stages
+        extras["denoise_decode_edits_per_s"] = round(b / dt, 4)
+
     result = {
-        "metric": f"edits/sec/chip ({height}x{width}, {steps}-step, cond-image, "
+        "metric": f"{scope} edits/sec/chip ({height}x{width}, {steps}-step, "
+        f"cond-image+biosignal, "
         f"{'flux-dev-int8 19+38' if full else 'flux-lite 8+16'}"
         f"{' w8a8' if w8a8 else ''}"
         f"{' int8-attn' if int8_attn else ''}"
         f"{', batch ' + str(b) if b > 1 else ''}"
         f"{'' if decode is not None else ', no-vae'})",
-        "value": round(b / dt, 4) if dt else 0.0,
+        "value": round(b / e2e, 4) if e2e else 0.0,
         "unit": "edits/sec",
         "vs_baseline": None,
-        "p50_latency_s": round(dt, 3) if dt else None,
+        "p50_latency_s": round(e2e, 3) if e2e else None,
         "ms_per_step": round(dt / steps * 1e3, 2) if dt else None,
         "device": str(jax.devices()[0]),
         "params_b": _params_b(flux_params),

@@ -186,10 +186,25 @@ def init_s4_stack(
 def s4_stack_apply(
     params: Params, u: jnp.ndarray, mode: str = "conv"
 ) -> jnp.ndarray:
-    """u: [B, L, d_input] -> [B, L, d_output]."""
+    """u: [B, L, d_input] -> [B, L, d_output].
+
+    mode: "conv" (FFT convolution — the default and the fastest at the CS3
+    operating points, benchmarks/s4_mode_bench.py), "scan" (XLA
+    associative scan), or "pallas" (in-VMEM recurrence kernel,
+    ops/s4_pallas.py — constant memory in L, the streaming/serving form).
+    """
     from loongx_tpu.ops.nn import linear
 
-    core = s4d_conv if mode == "conv" else s4d_scan
+    if mode == "pallas":
+        from loongx_tpu.ops.s4_pallas import s4d_scan_pallas
+
+        core = s4d_scan_pallas
+    elif mode == "scan":
+        core = s4d_scan
+    elif mode == "conv":
+        core = s4d_conv
+    else:
+        raise ValueError(f"unknown s4 mode {mode!r} (conv | scan | pallas)")
     x = linear(params["encoder"], u)
     for blk in params["blocks"]:
         z = core(blk["s4"], x)

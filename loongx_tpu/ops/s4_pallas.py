@@ -63,14 +63,22 @@ def _s4d_scan_kernel(
     jax.lax.fori_loop(0, length, step, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def s4d_scan_pallas(
-    params, u: jnp.ndarray, interpret: bool = False
-) -> jnp.ndarray:
+def s4d_scan_pallas(params, u: jnp.ndarray, interpret=None) -> jnp.ndarray:
     """u: [B, L, H] -> [B, L, H], S4D recurrence via a Pallas kernel.
 
     ``params`` is an ops.s4 S4D layer dict (log_A_real / A_imag / C / log_dt
-    / D)."""
+    / D).  interpret=None auto-selects interpret mode off-TPU so the
+    ``s4_mode="pallas"`` path stays runnable (and CPU-testable) everywhere.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _s4d_scan_pallas(params, u, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _s4d_scan_pallas(
+    params, u: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
     from loongx_tpu.ops.s4 import discretise_real
 
     ar, ai, br, bi, cr, ci = discretise_real(params)

@@ -30,9 +30,11 @@ class TrainingCallback:
         wandb_config: Optional[Dict[str, Any]] = None,
         sample_fn: Optional[Callable[[int], Any]] = None,
         frozen: Optional[Dict[str, Any]] = None,
+        fingerprint: Optional[Dict[str, Any]] = None,
     ):
         self.run_name = run_name
         self.frozen = frozen  # complement of state.trainable (for exports)
+        self.fingerprint = fingerprint  # resume-compat facts (see checkpoint)
         self.save_root = os.path.join(save_path, run_name)
         self.save_interval = save_interval
         self.sample_interval = sample_interval
@@ -119,6 +121,6 @@ class TrainingCallback:
                 print(f"[callbacks] lora export failed: {exc}")
         save_train_checkpoint(
             os.path.join(self.save_root, "orbax"), step,
-            state.trainable, state.opt_state,
+            state.trainable, state.opt_state, fingerprint=self.fingerprint,
         )
         print(f"[callbacks] saved checkpoint @ step {step} -> {ckpt_dir}")

@@ -33,7 +33,9 @@ from loongx_tpu.train.prepare import prepare_batch
 from loongx_tpu.train.step import (
     make_train_step, partition, trainable_mask,
 )
-from loongx_tpu.utils.checkpoint import latest_checkpoint, load_train_checkpoint
+from loongx_tpu.utils.checkpoint import (
+    latest_checkpoint, load_fingerprint, load_train_checkpoint,
+)
 
 
 def train(
@@ -86,12 +88,43 @@ def train(
     )
     state = init_fn(trainable)
     start_step = 0
-    orbax_dir = os.path.join(tcfg.save_path, run_name, "orbax")
+    # Config facts that must match across a resume: restoring a checkpoint
+    # from a run with a different LoRA rank / dataset / optimizer under the
+    # same save_path would fail deep inside orbax restore or silently adopt
+    # the wrong experiment's optimizer state.
+    fingerprint = {
+        "lora_r": lcfg.r,
+        "lora_alpha": lcfg.lora_alpha,
+        "dataset_type": tcfg.dataset.type,
+        "optimizer": tcfg.optimizer.type,
+        "condition_type": tcfg.condition_type,
+        "accumulate_grad_batches": tcfg.accumulate_grad_batches,
+        "flux_blocks": [pipeline.flux_cfg.num_double_blocks,
+                        pipeline.flux_cfg.num_single_blocks],
+    }
     if resume:
         # resume from the newest run under save_path, if any
         for prior in sorted(os.listdir(tcfg.save_path) if os.path.isdir(tcfg.save_path) else [], reverse=True):
-            ck = latest_checkpoint(os.path.join(tcfg.save_path, prior, "orbax"))
+            prior_orbax = os.path.join(tcfg.save_path, prior, "orbax")
+            ck = latest_checkpoint(prior_orbax)
             if ck:
+                prior_fp = load_fingerprint(prior_orbax)
+                if prior_fp is not None and prior_fp != fingerprint:
+                    diff = {
+                        k: (prior_fp.get(k), fingerprint.get(k))
+                        for k in set(prior_fp) | set(fingerprint)
+                        if prior_fp.get(k) != fingerprint.get(k)
+                    }
+                    raise RuntimeError(
+                        f"refusing to resume from {ck}: its config "
+                        f"fingerprint mismatches the current config "
+                        f"(saved vs current): {diff}. Pass resume=False or "
+                        f"use a fresh save_path for the new configuration."
+                    )
+                if prior_fp is None:
+                    print(f"[train] warning: {prior_orbax} has no config "
+                          "fingerprint (pre-fingerprint run) — resuming "
+                          "without a compatibility check")
                 t, o, start_step = load_train_checkpoint(
                     ck, {"trainable": state.trainable, "opt_state": state.opt_state}
                 )
@@ -143,6 +176,7 @@ def train(
         wandb_config=tcfg.wandb,
         sample_fn=sample_fn,
         frozen=frozen,
+        fingerprint=fingerprint,
     )
 
     total = max_steps or tcfg.max_steps

@@ -69,16 +69,39 @@ def _ckptr():
     return ocp.StandardCheckpointer()
 
 
-def save_train_checkpoint(path: str, step: int, trainable, opt_state) -> str:
-    """Save trainable params + optimizer state + step for exact resume."""
-    import orbax.checkpoint as ocp
+def save_train_checkpoint(
+    path: str, step: int, trainable, opt_state,
+    fingerprint: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Save trainable params + optimizer state + step for exact resume.
 
-    path = os.path.abspath(os.path.join(path, f"step_{step}"))
+    ``fingerprint`` (config facts that must match across a resume: LoRA
+    rank/alpha, dataset type, optimizer type, model geometry) is written
+    beside the step dirs; ``train.loop`` refuses to restore a checkpoint
+    whose fingerprint mismatches the current config — resuming a different
+    experiment's optimizer state would fail deep inside orbax or, worse,
+    silently corrupt the run."""
+    root = os.path.abspath(path)
+    if fingerprint is not None:
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "fingerprint.json"), "w") as f:
+            json.dump(fingerprint, f, indent=2, sort_keys=True)
+    path = os.path.join(root, f"step_{step}")
     ckptr = _ckptr()
     ckptr.save(path, {"trainable": trainable, "opt_state": opt_state,
                       "step": jnp.asarray(step)})
     ckptr.wait_until_finished()
     return path
+
+
+def load_fingerprint(orbax_dir: str) -> Optional[Dict[str, Any]]:
+    """The config fingerprint saved beside a run's checkpoints (None for
+    runs predating fingerprinting)."""
+    fp = os.path.join(orbax_dir, "fingerprint.json")
+    if not os.path.isfile(fp):
+        return None
+    with open(fp) as f:
+        return json.load(f)
 
 
 def load_train_checkpoint(path: str, abstract_state):

