@@ -124,11 +124,14 @@ if "A" in PART:
     a["w8a8_vs_weightonly"] = compare(
         ref, run_traj(params, cfg, inputs, w8a8=True, int8_attn=False)
     )
+    print("A w8a8_vs_weightonly:", a["w8a8_vs_weightonly"], flush=True)
     a["w8a8+int8attn_vs_weightonly"] = compare(
         ref, run_traj(params, cfg, inputs, w8a8=True, int8_attn=True)
     )
+    print("A w8a8+int8attn_vs_weightonly:",
+          a["w8a8+int8attn_vs_weightonly"], flush=True)
     report["A_full_depth_19+38"] = a
-    del params
+    del params, ref
     gc.collect()
 
 if "B" in PART:
@@ -137,19 +140,32 @@ if "B" in PART:
     bf16 = realistic_adaln_bias(bf16, ks[6])
     inputs = make_inputs()
     ref = run_traj(bf16, cfg, inputs, w8a8=False, int8_attn=False)
-    qt = quantize_tree(bf16)
+    # quantize ON HOST: quantize_linear's fp32 kernel transients on top of
+    # the live bf16 + int8 trees overflow the chip at this size
+    host = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    bf16_host = jax.device_put(bf16, host)
     del bf16
+    gc.collect()
+    with jax.default_device(host):
+        qt_host = quantize_tree(bf16_host)
+    del bf16_host
+    qt = jax.device_put(qt_host, tpu)
+    del qt_host
     gc.collect()
     b = {}
     b["weightonly_vs_bf16"] = compare(
         ref, run_traj(qt, cfg, inputs, w8a8=False, int8_attn=False)
     )
+    print("B weightonly_vs_bf16:", b["weightonly_vs_bf16"], flush=True)
     b["w8a8_vs_bf16"] = compare(
         ref, run_traj(qt, cfg, inputs, w8a8=True, int8_attn=False)
     )
+    print("B w8a8_vs_bf16:", b["w8a8_vs_bf16"], flush=True)
     b["w8a8+int8attn_vs_bf16"] = compare(
         ref, run_traj(qt, cfg, inputs, w8a8=True, int8_attn=True)
     )
+    print("B w8a8+int8attn_vs_bf16:", b["w8a8+int8attn_vs_bf16"], flush=True)
     report["B_reduced_depth_6+12_bf16_anchor"] = b
 
 print(json.dumps(report, indent=2))

@@ -122,8 +122,17 @@ def main(argv=None):
     parser.add_argument("--schnell", action="store_true",
                         help="FLUX.1-schnell (no guidance embedder)")
     parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument(
+        "--quantize", action="store_true",
+        help="int8-quantize the DiT + text encoders during conversion "
+        "(on host) and save the quantized checkpoint — REQUIRED for "
+        "serving the 12B flux-dev from one ~16 GB chip: the bf16 tree "
+        "(23.8 GB) never fits HBM, so quantization cannot happen "
+        "device-side after loading (docs/WEIGHTS.md)",
+    )
     args = parser.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
 
     from loongx_tpu.models.flux.model import FluxConfig
@@ -143,26 +152,42 @@ def main(argv=None):
     t5_cfg = T5Config.xxl()
     clip_cfg = CLIPTextConfig.large()
 
-    print("[convert] flux ...")
-    params = {
-        "flux": convert_flux_state(load_safetensors_dir(args.flux), flux_cfg, dtype)
-    }
-    print("[convert] vae ...")
-    params["vae"] = convert_vae_state(
-        load_safetensors_dir(args.vae), vae_cfg, jnp.float32
-    )
-    print("[convert] t5 ...")
-    params["t5"] = convert_t5_state(load_safetensors_dir(args.t5), t5_cfg, dtype)
-    print("[convert] clip ...")
-    params["clip"] = convert_clip_state(
-        load_safetensors_dir(args.clip), clip_cfg, dtype
-    )
+    # The whole conversion runs ON HOST (CPU backend): full-scale bf16
+    # trees (FLUX 23.8 GB, T5 9.5 GB) exceed a single chip's HBM — the
+    # accelerator only ever sees the final (optionally int8) checkpoint at
+    # load time, via orbax restore.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        print("[convert] flux ...")
+        params = {
+            "flux": convert_flux_state(
+                load_safetensors_dir(args.flux), flux_cfg, dtype
+            )
+        }
+        print("[convert] vae ...")
+        params["vae"] = convert_vae_state(
+            load_safetensors_dir(args.vae), vae_cfg, jnp.float32
+        )
+        print("[convert] t5 ...")
+        params["t5"] = convert_t5_state(
+            load_safetensors_dir(args.t5), t5_cfg, dtype
+        )
+        print("[convert] clip ...")
+        params["clip"] = convert_clip_state(
+            load_safetensors_dir(args.clip), clip_cfg, dtype
+        )
 
-    pipe = LoongXPipeline(
-        flux_cfg=flux_cfg, vae_cfg=vae_cfg, t5_cfg=t5_cfg, clip_cfg=clip_cfg,
-        params=params, dtype=dtype,
-    )
-    save_pipeline(pipe, args.out)
+        if args.quantize:
+            from loongx_tpu.ops.quant import quantize_tree
+
+            for name in ("flux", "t5", "clip"):
+                print(f"[convert] int8-quantize {name} (host) ...")
+                params[name] = quantize_tree(params[name])
+
+        pipe = LoongXPipeline(
+            flux_cfg=flux_cfg, vae_cfg=vae_cfg, t5_cfg=t5_cfg,
+            clip_cfg=clip_cfg, params=params, dtype=dtype,
+        )
+        save_pipeline(pipe, args.out)
     for name, src in (("t5_tokenizer", args.t5_tokenizer),
                       ("clip_tokenizer", args.clip_tokenizer)):
         if src:

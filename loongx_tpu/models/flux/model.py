@@ -240,7 +240,8 @@ def _use_stacked_qmm(block_tree: Params) -> bool:
     def has_q(t):
         if isinstance(t, dict):
             if "kernel_q" in t:
-                return t["kernel_q"].ndim == 3
+                # 3D = stacked linear; 4D = TP-layout fused qkv stack
+                return t["kernel_q"].ndim in (3, 4)
             return any(has_q(v) for v in t.values())
         return False
 
@@ -248,7 +249,9 @@ def _use_stacked_qmm(block_tree: Params) -> bool:
         return False
     if mode == "1":
         return True
-    return jax.default_backend() == "tpu" and current_tp() is None
+    # under TP the stacked kernels run per-shard via shard_map wrappers
+    # (parallel/tp_quant.py) — no XLA fallback needed since round 3
+    return jax.default_backend() == "tpu"
 
 
 def _stacked_view(tree: Params, blk: jnp.ndarray) -> Params:
@@ -274,6 +277,7 @@ def linear(
     x: jnp.ndarray,
     use_lora: bool = True,
     lora_mask: Optional[jnp.ndarray] = None,
+    tp_kind: Optional[str] = None,
 ) -> jnp.ndarray:
     """Linear with optional fused LoRA delta: y = xW + b [+ (xA)B * scale].
 
@@ -283,15 +287,34 @@ def linear(
     restricts the delta to a token segment — used by the stream-fused blocks
     where img (LoRA off unless latent_lora) and cond (LoRA on) tokens ride
     one matmul.
+
+    ``tp_kind`` ("col" / "row" / None->"repl") names this layer's Megatron
+    split under an active tensor-parallel context so the stacked quant
+    kernel can run per-shard via shard_map (parallel/tp_quant.py); it is a
+    performance hint only — any value is correct (GSPMD reshards).
     """
     stacked = "kernel_q" in p and _is_stacked_q(p)
     if stacked:
+        from loongx_tpu.parallel.mesh import current_tp
+
+        tp = current_tp()
+        lead = x.shape[:-1]
+        nb = p["kernel_q"].shape[0]
+        if tp is not None and not (use_lora and "lora_a" in p):
+            # per-shard stacked kernel over the tensor axis (serving path;
+            # bias applied inside the wrapper)
+            from loongx_tpu.parallel.tp_quant import tp_quant_matmul_stacked
+
+            y = tp_quant_matmul_stacked(
+                tp_kind or "repl", x.reshape(-1, x.shape[-1]),
+                p["kernel_q"], p["kernel_scale"].reshape(nb, 1, -1),
+                p["_blk"], bias2=p.get("bias"),
+            ).reshape(*lead, -1)
+            return y.astype(x.dtype)
         # stacked scan view: scalar-prefetch kernel reads tiles straight out
         # of the whole [NB, K, N] stack — no per-iteration slice copy
         from loongx_tpu.ops.quant_matmul import quant_matmul_stacked_vjp
 
-        lead = x.shape[:-1]
-        nb = p["kernel_q"].shape[0]
         y = quant_matmul_stacked_vjp(
             x.reshape(-1, x.shape[-1]), p["kernel_q"],
             p["kernel_scale"].reshape(nb, 1, -1), p["_blk"],
@@ -343,19 +366,31 @@ def linear_gelu(
     x: jnp.ndarray,
     use_lora: bool = True,
     lora_mask: Optional[jnp.ndarray] = None,
+    tp_kind: Optional[str] = None,
 ) -> jnp.ndarray:
     """gelu_tanh(linear(p, x)) with the bias + activation fused into the
     quant-matmul store epilogue on the int8 serving path (ops/quant_matmul
     `quant_linear_gelu`) — saves a full HBM round-trip over the 4x-wide ff
     hidden per block.  Falls back to the composed form whenever the fused
     kernel can't represent the computation (bf16 weights, an active LoRA
-    delta that must be added pre-activation, TP-sharded N axis, non-TPU)."""
+    delta that must be added pre-activation, non-TPU)."""
     if "kernel_q" in p:
         if _is_stacked_q(p) and not (use_lora and "lora_a" in p):
-            from loongx_tpu.ops.quant_matmul import quant_linear_gelu_stacked
+            from loongx_tpu.parallel.mesh import current_tp
 
             lead = x.shape[:-1]
             nb, _, n = p["kernel_q"].shape
+            if current_tp() is not None:
+                from loongx_tpu.parallel.tp_quant import tp_quant_matmul_stacked
+
+                return tp_quant_matmul_stacked(
+                    tp_kind or "repl",
+                    x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
+                    p["kernel_q"], p["kernel_scale"].reshape(nb, 1, n),
+                    p["_blk"], bias2=p.get("bias"), activation="gelu_tanh",
+                ).reshape(*lead, -1).astype(x.dtype)
+            from loongx_tpu.ops.quant_matmul import quant_linear_gelu_stacked
+
             bias3 = (
                 p["bias"].astype(jnp.float32).reshape(nb, 1, n)
                 if "bias" in p else jnp.zeros((nb, 1, n), jnp.float32)
@@ -443,6 +478,7 @@ def _qkv(
     prefix: str = "to",
     use_lora: bool = True,
     lora_mask: Optional[jnp.ndarray] = None,
+    ln_mod=None,
 ):
     """Project + split heads + per-head RMS q/k norm.  Returns [B,S,H,Dh]x3
     — heads-last ("bshd"), the projection's natural output layout: the
@@ -456,19 +492,35 @@ def _qkv(
     else:  # context ("added") projections — never LoRA-targeted
         fused = attn.get("add_qkv_proj")
         nq, nk = attn["norm_added_q"], attn["norm_added_k"]
+    import os
+
+    fused_ok = fused is not None and (
+        _is_stacked_q(fused)
+        or ("_blk" in fused and fused["kernel_q"].ndim == 4)
+    )
+    ln_in_kernel = (
+        fused_ok and x.shape[0] == 1
+        and os.environ.get("LOONGX_FUSE_LN", "0") == "1"
+    )
+    if ln_mod is not None and not ln_in_kernel:
+        # prologue can't ride into the kernel here — apply it in XLA and
+        # proceed with the normed stream (identical math)
+        x = _ln_mod_xla(x, ln_mod)
+        ln_mod = None
     if fused is not None:
-        if _is_stacked_q(fused):
+        if fused_ok:
             # one kernel: matmul + in-BlockSpec q/k/v split + fused RMS
-            return _fused_qkv_stacked(fused, nq, nk, x, num_heads)
+            # (+ optional LN+adaLN prologue in the x load)
+            return _fused_qkv_stacked(fused, nq, nk, x, num_heads, ln_mod)
         q, k, v = jnp.split(linear(fused, x, use_lora=False), 3, -1)
     elif prefix == "to":
-        q = linear(attn["to_q"], x, use_lora, lora_mask)
-        k = linear(attn["to_k"], x, use_lora, lora_mask)
-        v = linear(attn["to_v"], x, use_lora, lora_mask)
+        q = linear(attn["to_q"], x, use_lora, lora_mask, tp_kind="col")
+        k = linear(attn["to_k"], x, use_lora, lora_mask, tp_kind="col")
+        v = linear(attn["to_v"], x, use_lora, lora_mask, tp_kind="col")
     else:
-        q = linear(attn["add_q_proj"], x, use_lora=False)
-        k = linear(attn["add_k_proj"], x, use_lora=False)
-        v = linear(attn["add_v_proj"], x, use_lora=False)
+        q = linear(attn["add_q_proj"], x, use_lora=False, tp_kind="col")
+        k = linear(attn["add_k_proj"], x, use_lora=False, tp_kind="col")
+        v = linear(attn["add_v_proj"], x, use_lora=False, tp_kind="col")
     b, s, _ = q.shape
 
     def split(t):
@@ -480,16 +532,19 @@ def _qkv(
     return q, k, v
 
 
-def _fused_qkv_stacked(p, nq, nk, x, num_heads: int):
+def _fused_qkv_stacked(p, nq, nk, x, num_heads: int, ln_mod=None):
     """Stacked fused-qkv projection via the single Pallas kernel
     (ops/quant_matmul.quant_qkv_stacked): the q/k/v split happens in the
     output BlockSpec and the per-head RMS q/k norms run in the store
-    epilogue — no [M, 3H] intermediate, no separate norm pass."""
+    epilogue — no [M, 3H] intermediate, no separate norm pass.  ``ln_mod``
+    additionally fuses the block's layernorm + per-segment adaLN affine
+    into the x load (x is then the RAW stream)."""
     from loongx_tpu.ops.quant_matmul import quant_qkv_stacked
 
-    b, s, _ = x.shape
-    nb, _, n3 = p["kernel_q"].shape
-    h = n3 // 3
+    b, s, kdim = x.shape
+    tp4 = p["kernel_q"].ndim == 4  # [NB, K, 3, H] TP head-sharded layout
+    nb = p["kernel_q"].shape[0]
+    h = p["kernel_q"].shape[-1] if tp4 else p["kernel_q"].shape[-1] // 3
     hd = h // num_heads
     norm_w = jnp.stack(
         [
@@ -498,14 +553,33 @@ def _fused_qkv_stacked(p, nq, nk, x, num_heads: int):
             jnp.ones((h,), jnp.float32),
         ]
     )
-    bias3 = (
-        p["bias"].astype(jnp.float32).reshape(nb, 1, n3)
-        if "bias" in p else jnp.zeros((nb, 1, n3), jnp.float32)
-    )
-    q, k, v = quant_qkv_stacked(
-        x.reshape(-1, x.shape[-1]), p["kernel_q"],
-        p["kernel_scale"].reshape(nb, 1, n3), bias3, norm_w, p["_blk"], hd,
-    )
+    ab, boundary = None, 0
+    if ln_mod is not None:
+        a_m, b_m, a_c, b_c, boundary = ln_mod
+        ab = _mk_ab(a_m, b_m, a_c, b_c, kdim)
+    if tp4:
+        from loongx_tpu.parallel.tp_quant import tp_quant_qkv_stacked
+
+        bias4 = (
+            p["bias"].astype(jnp.float32).reshape(nb, 1, 3, h)
+            if "bias" in p else jnp.zeros((nb, 1, 3, h), jnp.float32)
+        )
+        q, k, v = tp_quant_qkv_stacked(
+            x.reshape(-1, kdim), p["kernel_q"],
+            p["kernel_scale"].reshape(nb, 1, 3, h), bias4, norm_w,
+            p["_blk"], hd, ab=ab, seg_boundary=boundary,
+        )
+    else:
+        n3 = 3 * h
+        bias3 = (
+            p["bias"].astype(jnp.float32).reshape(nb, 1, n3)
+            if "bias" in p else jnp.zeros((nb, 1, n3), jnp.float32)
+        )
+        q, k, v = quant_qkv_stacked(
+            x.reshape(-1, x.shape[-1]), p["kernel_q"],
+            p["kernel_scale"].reshape(nb, 1, n3), bias3, norm_w, p["_blk"], hd,
+            ab=ab, seg_boundary=boundary,
+        )
     shape = (b, s, num_heads, hd)
     return (
         q.reshape(shape).astype(x.dtype),
@@ -579,6 +653,164 @@ def _seg_affine(x_img, x_cond, a_img, b_img, a_cond, b_cond):
     return jnp.concatenate([y, yc], axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Fused elementwise helpers: route the block's LN + adaLN affine prologue and
+# gate + residual epilogue INTO the stacked quant matmuls (serving; B=1).
+# Both fall back to the identical XLA composition whenever the kernel can't
+# represent the computation (bf16 weights, LoRA delta, batch > 1, unstacked)
+# so every call site has ONE math definition.
+#
+# MEASURED OFF BY DEFAULT: at full-dev the stacked quant kernels already run
+# at 88-90% of the int8 MXU peak, and putting the elementwise work on the
+# kernel's critical path STALLS the MXU for more than the saved HBM
+# round-trip — LN prologue +5 ms/fwd, gate epilogue +3 ms/fwd even with
+# host-precomputed LN stats (benchmarks/fused_ew_ab.py; the round-2
+# "headroom #1/#2" hypothesis is refuted).  XLA's own elementwise fusions
+# overlap with the kernels instead.  LOONGX_FUSE_LN=1 / LOONGX_FUSE_GATE=1
+# re-enable for future hardware where the trade flips.
+# ---------------------------------------------------------------------------
+
+
+def _elementwise_fusable(
+    p: Params, x: jnp.ndarray, use_lora: bool, knob: str = "LOONGX_FUSE_LN"
+) -> bool:
+    import os
+
+    return (
+        os.environ.get(knob, "0") == "1"
+        and isinstance(p, dict)
+        and "kernel_q" in p
+        and _is_stacked_q(p)
+        and not (use_lora and "lora_a" in p)
+        and x.shape[0] == 1
+    )
+
+
+def _mk_ab(a_main, b_main, a_cond, b_cond, k: int) -> jnp.ndarray:
+    """Pack per-segment affine rows into the kernels' [8, K] ab operand
+    (rows 0..3 = a_main / b_main / a_cond / b_cond; cond falls back to the
+    main affine when there is no cond segment)."""
+    if a_cond is None:
+        a_cond, b_cond = a_main, b_main
+    ab = jnp.zeros((8, k), jnp.float32)
+    ab = ab.at[0].set(a_main[0].astype(jnp.float32))
+    ab = ab.at[1].set(b_main[0].astype(jnp.float32))
+    ab = ab.at[2].set(a_cond[0].astype(jnp.float32))
+    return ab.at[3].set(b_cond[0].astype(jnp.float32))
+
+
+def _ln_mod_xla(x, ln_mod):
+    """XLA composition of the LN + per-segment affine prologue (the
+    reference's norm1/norm path, block.py:191-207)."""
+    a_m, b_m, a_c, b_c, boundary = ln_mod
+    normed = layer_norm(x)
+    use_cond = a_c is not None
+    return _seg_affine(
+        normed[:, :boundary], normed[:, boundary:] if use_cond else None,
+        a_m, b_m, a_c, b_c,
+    )
+
+
+def _bias3(p: Params) -> jnp.ndarray:
+    nb, _, n = p["kernel_q"].shape
+    return (
+        p["bias"].astype(jnp.float32).reshape(nb, 1, n)
+        if "bias" in p else jnp.zeros((nb, 1, n), jnp.float32)
+    )
+
+
+def ln_mod_linear(
+    p: Params,
+    x: jnp.ndarray,
+    ln_mod,
+    activation: Optional[str] = None,
+    use_lora: bool = True,
+    lora_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(layer_norm(x) * a_seg + b_seg) -> linear (+ fused gelu).
+
+    ln_mod = (a_main, b_main, a_cond|None, b_cond|None, boundary); x is the
+    RAW fused [main | cond] stream [B, S, K]."""
+    if _elementwise_fusable(p, x, use_lora):
+        a_m, b_m, a_c, b_c, boundary = ln_mod
+        b, s, k = x.shape
+        nb, _, n = p["kernel_q"].shape
+        ab = _mk_ab(a_m, b_m, a_c, b_c, k)
+        from loongx_tpu.parallel.mesh import current_tp
+
+        if current_tp() is not None:
+            from loongx_tpu.parallel.tp_quant import tp_quant_matmul_stacked
+
+            y = tp_quant_matmul_stacked(
+                "col", x.reshape(s, k), p["kernel_q"],
+                p["kernel_scale"].reshape(nb, 1, n), p["_blk"],
+                bias2=p.get("bias"), activation=activation,
+                ab=ab, seg_boundary=boundary,
+            )
+            return y.reshape(b, s, n).astype(x.dtype)
+        from loongx_tpu.ops.quant_matmul import quant_ln_mod_linear_stacked
+
+        y = quant_ln_mod_linear_stacked(
+            boundary, activation, x.reshape(s, k), p["kernel_q"],
+            p["kernel_scale"].reshape(nb, 1, n), _bias3(p), ab, p["_blk"],
+        )
+        return y.reshape(b, s, n).astype(x.dtype)
+    nx = _ln_mod_xla(x, ln_mod)
+    if activation == "gelu_tanh":
+        return linear_gelu(p, nx, use_lora, lora_mask, tp_kind="col")
+    assert activation is None
+    return linear(p, nx, use_lora, lora_mask, tp_kind="col")
+
+
+def gate_res_linear(
+    p: Params,
+    x: jnp.ndarray,
+    resid: jnp.ndarray,
+    g_main: jnp.ndarray,
+    g_cond: Optional[jnp.ndarray],
+    boundary: int,
+    use_lora: bool = True,
+    lora_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """resid + gate_seg(row) * linear(x) — the adaLN-zero gated residual
+    add, fused into the matmul store epilogue when representable."""
+    if _elementwise_fusable(p, x, use_lora, knob="LOONGX_FUSE_GATE"):
+        b, s, k = x.shape
+        nb, _, n = p["kernel_q"].shape
+        gc = g_cond if g_cond is not None else g_main
+        gate = jnp.zeros((8, n), jnp.float32)
+        gate = gate.at[0].set(g_main[0].astype(jnp.float32))
+        gate = gate.at[1].set(gc[0].astype(jnp.float32))
+        from loongx_tpu.parallel.mesh import current_tp
+
+        if current_tp() is not None:
+            from loongx_tpu.parallel.tp_quant import tp_quant_matmul_stacked
+
+            y = tp_quant_matmul_stacked(
+                "row", x.reshape(s, k), p["kernel_q"],
+                p["kernel_scale"].reshape(nb, 1, n), p["_blk"],
+                bias2=p.get("bias"), seg_boundary=boundary,
+                resid=resid.reshape(s, n), gate=gate,
+            )
+            return y.reshape(b, s, n).astype(resid.dtype)
+        from loongx_tpu.ops.quant_matmul import quant_gate_res_linear_stacked
+
+        y = quant_gate_res_linear_stacked(
+            boundary, x.reshape(s, k), p["kernel_q"],
+            p["kernel_scale"].reshape(nb, 1, n), _bias3(p),
+            resid.reshape(s, n), gate, p["_blk"],
+        )
+        return y.reshape(b, s, n).astype(resid.dtype)
+    h = linear(p, x, use_lora, lora_mask, tp_kind="row")
+    zero = jnp.zeros_like(g_main)
+    use_cond = g_cond is not None
+    gated = _seg_affine(
+        h[:, :boundary], h[:, boundary:] if use_cond else None,
+        g_main, zero, g_cond, zero,
+    )
+    return resid + gated
+
+
 def double_block_forward(
     block: Params,
     cfg: FluxConfig,
@@ -617,15 +849,17 @@ def double_block_forward(
     )
     mt = _mod6(block["norm1_context"], temb, use_lora=False)
 
-    normed = layer_norm(lat)
-    n_lat = _seg_affine(
-        normed[:, :s_img], normed[:, s_img:] if use_cond else None,
-        1.0 + mi[1], mi[0], (1.0 + mc[1]) if use_cond else None, mc[0],
+    lm_attn = (
+        1.0 + mi[1], mi[0],
+        (1.0 + mc[1]) if use_cond else None, mc[0] if use_cond else None,
+        s_img,
     )
     n_txt = layer_norm(txt) * (1.0 + mt[1][:, None, :]) + mt[0][:, None, :]
 
     attn = block["attn"]
-    q_l, k_l, v_l = _qkv(attn, n_lat, nh, "to", use_lora=luse, lora_mask=lmask)
+    q_l, k_l, v_l = _qkv(
+        attn, lat, nh, "to", use_lora=luse, lora_mask=lmask, ln_mod=lm_attn
+    )
     q_t, k_t, v_t = _qkv(attn, n_txt, nh, "add", use_lora=False)
     # Sequence order [txt | img | cond] (reference block.py:70-72, 101-104);
     # token axis is 1 in the heads-last layout.
@@ -645,38 +879,49 @@ def double_block_forward(
     )
     out = _merge_heads(out)
 
-    attn_txt = linear(attn["to_add_out"], out[:, :s_txt], use_lora=False)
-    attn_lat = linear(
-        attn["to_out"], out[:, s_txt:], use_lora=luse, lora_mask=lmask
-    )
-    zero = jnp.zeros_like(mi[2])
-    gated_lat = _seg_affine(
-        attn_lat[:, :s_img], attn_lat[:, s_img:] if use_cond else None,
-        mi[2], zero, mc[2] if use_cond else None, zero,
+    attn_txt = linear(
+        attn["to_add_out"], out[:, :s_txt], use_lora=False, tp_kind="row"
     )
     if use_cond and flags.get("add_cond_attn", False):
         # reference block.py:233-234: img also receives the gated cond attn
+        # — a cross-segment add the fused epilogue can't express
+        attn_lat = linear(
+            attn["to_out"], out[:, s_txt:], use_lora=luse, lora_mask=lmask,
+            tp_kind="row",
+        )
+        zero = jnp.zeros_like(mi[2])
+        gated_lat = _seg_affine(
+            attn_lat[:, :s_img], attn_lat[:, s_img:],
+            mi[2], zero, mc[2], zero,
+        )
         gated_lat = gated_lat.at[:, :s_img].add(gated_lat[:, s_img:])
-    lat = lat + gated_lat
+        lat = lat + gated_lat
+    else:
+        lat = gate_res_linear(
+            attn["to_out"], out[:, s_txt:], lat,
+            mi[2], mc[2] if use_cond else None, s_img,
+            use_lora=luse, lora_mask=lmask,
+        )
     txt = txt + mt[2][:, None, :] * attn_txt
 
     # MLP (fused latent stream; only ff.out is LoRA-targeted — seed config
     # regex targets ff.net.2, not net.0)
-    n2 = layer_norm(lat)
-    m_lat = _seg_affine(
-        n2[:, :s_img], n2[:, s_img:] if use_cond else None,
-        1.0 + mi[4], mi[3], (1.0 + mc[4]) if use_cond else None, mc[3],
+    h = ln_mod_linear(
+        block["ff"]["in"], lat,
+        (1.0 + mi[4], mi[3],
+         (1.0 + mc[4]) if use_cond else None, mc[3] if use_cond else None,
+         s_img),
+        activation="gelu_tanh", use_lora=False,
     )
-    h = linear_gelu(block["ff"]["in"], m_lat, use_lora=False)
-    h = linear(block["ff"]["out"], h, use_lora=luse, lora_mask=lmask)
-    lat = lat + _seg_affine(
-        h[:, :s_img], h[:, s_img:] if use_cond else None,
-        mi[5], zero, mc[5] if use_cond else None, zero,
+    lat = gate_res_linear(
+        block["ff"]["out"], h, lat, mi[5], mc[5] if use_cond else None,
+        s_img, use_lora=luse, lora_mask=lmask,
     )
 
     n2t = layer_norm(txt) * (1.0 + mt[4][:, None, :]) + mt[3][:, None, :]
-    ht = linear_gelu(block["ff_context"]["in"], n2t, use_lora=False)
-    ht = linear(block["ff_context"]["out"], ht, use_lora=False)
+    ht = linear_gelu(block["ff_context"]["in"], n2t, use_lora=False,
+                     tp_kind="col")
+    ht = linear(block["ff_context"]["out"], ht, use_lora=False, tp_kind="row")
     txt = txt + mt[5][:, None, :] * ht
 
     return txt, lat[:, :s_img], lat[:, s_img:] if use_cond else None
@@ -711,16 +956,20 @@ def single_block_forward(
     mx, mc = _mod_pair(
         block["norm"], temb, cond_temb if use_cond else None, latent_lora, 3
     )
-    normed = layer_norm(full)
-    n_full = _seg_affine(
-        normed[:, :s_x], normed[:, s_x:] if use_cond else None,
-        1.0 + mx[1], mx[0], (1.0 + mc[1]) if use_cond else None, mc[0],
+    lm = (
+        1.0 + mx[1], mx[0],
+        (1.0 + mc[1]) if use_cond else None, mc[0] if use_cond else None,
+        s_x,
     )
-    mlp_h = linear_gelu(block["proj_mlp"], n_full, use_lora=luse,
-                        lora_mask=lmask)
+    mlp_h = ln_mod_linear(
+        block["proj_mlp"], full, lm,
+        activation="gelu_tanh", use_lora=luse, lora_mask=lmask,
+    )
 
     attn = block["attn"]
-    q, k, v = _qkv(attn, n_full, nh, "to", use_lora=luse, lora_mask=lmask)
+    q, k, v = _qkv(
+        attn, full, nh, "to", use_lora=luse, lora_mask=lmask, ln_mod=lm
+    )
 
     mode = "union"
     if not flags.get("union_cond_attn", True):
@@ -734,13 +983,10 @@ def single_block_forward(
     out = _merge_heads(out)
 
     h = jnp.concatenate([out, mlp_h], axis=-1)
-    proj = linear(block["proj_out"], h, use_lora=luse, lora_mask=lmask)
-    zero = jnp.zeros_like(mx[2])
-    gated = _seg_affine(
-        proj[:, :s_x], proj[:, s_x:] if use_cond else None,
-        mx[2], zero, mc[2] if use_cond else None, zero,
+    full = gate_res_linear(
+        block["proj_out"], h, full, mx[2], mc[2] if use_cond else None,
+        s_x, use_lora=luse, lora_mask=lmask,
     )
-    full = full + gated
     return full[:, :s_x], full[:, s_x:] if use_cond else None
 
 

@@ -138,15 +138,21 @@ class LoongXPipeline:
 
     @staticmethod
     def from_pretrained(
-        path: str, dtype=jnp.bfloat16, quantize: bool = False
+        path: str, dtype=jnp.bfloat16, quantize: bool = False,
+        components=None,
     ) -> "LoongXPipeline":
         """Load a converted checkpoint directory (see utils/convert.py).
 
         quantize=True int8-quantizes the DiT and text encoders at load —
-        the single-chip serving mode (see docs/WEIGHTS.md memory budget)."""
+        the single-chip serving mode for models that FIT in bf16 first.
+        At the 12B flux-dev scale that's impossible (23.8 GB bf16 > HBM):
+        convert with ``cli/convert.py --quantize`` so the checkpoint is
+        already int8, and stage loads with ``components``
+        (e.g. ("t5", "clip", "vae") -> encode -> free -> ("flux",)); see
+        docs/WEIGHTS.md and benchmarks/convert_rehearsal.py."""
         from loongx_tpu.utils.checkpoint import load_pipeline
 
-        pipe = load_pipeline(path, dtype=dtype)
+        pipe = load_pipeline(path, dtype=dtype, components=components)
         if quantize:
             pipe.quantize()
         return pipe

@@ -157,7 +157,10 @@ def _fwd_kernel(
     num_kv: int,
     bshd: bool = False,
     int8_qk: bool = False,
+    int8_cache: bool = False,
 ):
+    if int8_cache:
+        *refs, qq_ref, qs_ref, kq_ref, ks_ref = refs
     if save_residuals:
         o_ref, m_out_ref, l_out_ref, m_ref, l_ref, acc_ref = refs
     else:
@@ -171,32 +174,75 @@ def _fwd_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = _tile(q_ref, bshd)  # [block_q, D]
-    k = _tile(k_ref, bshd)  # [block_k, D]
-    if use_rope:
-        r = _pair_swap_matrix(q.shape[-1])
-        q = _rope_rotate(q, cos_q_ref[...], sin_q_ref[...], r)
-        k = _rope_rotate(k, cos_k_ref[...], sin_k_ref[...], r)
-    if int8_qk:
-        # int8 MXU scores: per-query-row scales (broadcast over columns —
-        # no transpose) x one per-key-tile scalar (post-RMS-norm key rows
-        # are near-homogeneous, so a tile scalar costs <0.5% extra noise)
-        qf = q.astype(jnp.float32)
-        q_absmax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)
-        q_scale = jnp.where(q_absmax == 0, 1.0, q_absmax / 127.0)
-        q_q = jnp.clip(jnp.round(qf / q_scale), -127, 127).astype(jnp.int8)
-        kf = k.astype(jnp.float32)
-        k_absmax = jnp.max(jnp.abs(kf))
-        k_scale = jnp.where(k_absmax == 0, 1.0, k_absmax / 127.0)
-        k_q = jnp.clip(jnp.round(kf / k_scale), -127, 127).astype(jnp.int8)
+    def _quant(x, per_row: bool):
+        xf = x.astype(jnp.float32)
+        a = (
+            jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+            if per_row else jnp.max(jnp.abs(xf))
+        )
+        sc = jnp.where(a == 0, 1.0, a / 127.0)
+        return jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8), sc
+
+    if int8_qk and int8_cache:
+        # Multi-tile grids (long S): rope-rotate + quantize each q tile
+        # ONCE per kv sweep and each k tile ONCE per grid (round-2 measured
+        # a 14% regression from per-step re-quantization — the reason int8
+        # scores were auto-disabled at 1024px).  The quantized tiles live
+        # in scratch across grid steps; the q axis is sequential
+        # ("arbitrary") so every core fills its own k cache at q_idx == 0.
+        r = _pair_swap_matrix(q_ref.shape[-1]) if use_rope else None
+
+        @pl.when(kv_idx == 0)
+        def _cache_q():
+            qt = _tile(q_ref, bshd)
+            if use_rope:
+                qt = _rope_rotate(qt, cos_q_ref[...], sin_q_ref[...], r)
+            qq, qsc = _quant(qt, per_row=True)
+            qq_ref[...] = qq
+            qs_ref[...] = jnp.broadcast_to(qsc, qs_ref.shape)
+
+        @pl.when(q_idx == 0)
+        def _cache_k():
+            kt = _tile(k_ref, bshd)
+            if use_rope:
+                kt = _rope_rotate(kt, cos_k_ref[...], sin_k_ref[...], r)
+            kq, ksc = _quant(kt, per_row=False)
+            kq_ref[pl.ds(kv_idx * block_k, block_k), :] = kq
+            ks_ref[pl.ds(kv_idx, 1), :] = jnp.full(
+                (1, ks_ref.shape[-1]), ksc, jnp.float32
+            )
+
+        q_q = qq_ref[...]
+        q_scale = qs_ref[:, 0:1]
+        k_q = kq_ref[pl.ds(kv_idx * block_k, block_k), :]
+        k_scale = ks_ref[pl.ds(kv_idx, 1), 0:1]
         s = jax.lax.dot_general(
             q_q, k_q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * (q_scale * k_scale)
+        ).astype(jnp.float32) * (q_scale * k_scale[0, 0])
     else:
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_q, block_k]
+        q = _tile(q_ref, bshd)  # [block_q, D]
+        k = _tile(k_ref, bshd)  # [block_k, D]
+        if use_rope:
+            r = _pair_swap_matrix(q.shape[-1])
+            q = _rope_rotate(q, cos_q_ref[...], sin_q_ref[...], r)
+            k = _rope_rotate(k, cos_k_ref[...], sin_k_ref[...], r)
+        if int8_qk:
+            # int8 MXU scores: per-query-row scales (broadcast over columns
+            # — no transpose) x one per-key-tile scalar (post-RMS-norm key
+            # rows are near-homogeneous, so a tile scalar costs <0.5%
+            # extra noise)
+            q_q, q_scale = _quant(q, per_row=True)
+            k_q, k_scale = _quant(k, per_row=False)
+            s = jax.lax.dot_general(
+                q_q, k_q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (q_scale * k_scale)
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [block_q, block_k]
     s = s * scale
 
     row_ids = (
@@ -297,12 +343,11 @@ def _flash_fwd(
             sin = jnp.pad(sin, [(0, s_pad - s), (0, 0)])
     num_q = s_pad // block_q
     num_kv = s_pad // block_k
-    # int8 scores only pay off on the single-(S,S)-tile policy, where q/k
-    # are quantized exactly once: under multi-tile grids every q tile is
-    # re-quantized per kv step and vice versa, and the redundant VPU work
-    # swamps the MXU gain (measured S=8704: 9.39 ms int8 vs 8.26 bf16).
-    if num_q > 1 or num_kv > 1:
-        int8_qk = False
+    # Multi-tile grids quantize via scratch caches (each q tile once per kv
+    # sweep, each k tile once per grid) — round 2 re-quantized per step and
+    # had to auto-disable int8 scores off the single-(S,S)-tile policy
+    # (measured S=8704: 9.39 ms int8 vs 8.26 bf16; now cached).
+    int8_cache = int8_qk and (num_q > 1 or num_kv > 1)
     if bshd:
         # view as [B, S, H*D]: head h is the D-wide column strip h*D:(h+1)*D,
         # sliced by the BlockSpec index maps (free bitcast, no transpose)
@@ -324,6 +369,7 @@ def _flash_fwd(
         num_kv=num_kv,
         bshd=bshd,
         int8_qk=int8_qk,
+        int8_cache=int8_cache,
     )
     if use_rope:
         rope_specs = [
@@ -391,9 +437,20 @@ def _flash_fwd(
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        ] + ([
+            pltpu.VMEM((block_q, d), jnp.int8),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((s_pad, d), jnp.int8),
+            pltpu.VMEM((max(num_kv, 8), LANES), jnp.float32),
+        ] if int8_cache else []),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # the k-quant scratch cache is filled at q_idx == 0 and reused
+            # by later q tiles -> the q axis must stay sequential per core
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary", "arbitrary")
+                if int8_cache
+                else ("parallel", "parallel", "parallel", "arbitrary")
+            ),
             vmem_limit_bytes=VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(

@@ -126,7 +126,9 @@ def random_quantized_like(
     return walk(shapes)
 
 
-def fuse_qkv_projections(flux_params: Params, consume: bool = False) -> Params:
+def fuse_qkv_projections(
+    flux_params: Params, consume: bool = False, tp_layout: bool = False
+) -> Params:
     """Serving-time transform: concatenate each attention's q/k/v projection
     weights along the output axis so every stream issues ONE matmul instead
     of three (the activations are read from HBM once, and W8A8 quantizes
@@ -148,6 +150,13 @@ def fuse_qkv_projections(flux_params: Params, consume: bool = False) -> Params:
     (with a device sync) right after each concat so the transform's peak
     HBM is one fused stack, not the whole fused+unfused set (~2 GB extra at
     12B on a ~14 GiB chip).  Use it when the caller is replacing its tree.
+
+    tp_layout=True emits q/k/v STACKED on a new axis instead of
+    concatenated flat — kernel_q [NB, K, 3, H], kernel_scale [NB, 1, 3, H],
+    bias [NB, 3, H] — so tensor parallelism can shard the head axis of all
+    three projections identically (P(..., "tensor") on the LAST dim); a
+    flat [K, 3H] column shard would cut across the q/k/v boundary
+    (parallel/tp_quant.tp_quant_qkv_stacked consumes this form).
     """
     def fuse3(a, b, c):
         # heterogeneous triples (e.g. a quantize predicate excluded one of
@@ -157,9 +166,12 @@ def fuse_qkv_projections(flux_params: Params, consume: bool = False) -> Params:
             return None
         fused: Params = {}
         for name in a:
-            fused[name] = jnp.concatenate(
-                [a[name], b[name], c[name]], axis=-1
-            )
+            if tp_layout:
+                fused[name] = jnp.stack([a[name], b[name], c[name]], axis=-2)
+            else:
+                fused[name] = jnp.concatenate(
+                    [a[name], b[name], c[name]], axis=-1
+                )
         return fused
 
     def fuse_attn(attn: Params) -> Params:

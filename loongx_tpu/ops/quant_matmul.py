@@ -36,14 +36,15 @@ def use_w8a8() -> bool:
     return os.environ.get("LOONGX_W8A8", "0") == "1"
 
 
-def _accum_tile(acc_ref, x_ref, w_int8, w8a8: bool):
+def _accum_tile(acc_ref, x, w_int8, w8a8: bool):
     """Shared MAC body for every quant kernel: either the W8A8 path
     (per-row dynamic activation int8 quant -> native s8xs8->s32 MXU dot ->
     fp32 rescale) or the weight-only path (int8 weight dequantised to bf16
-    in VMEM, bf16 MXU dot, fp32 accumulation).  ``w_int8`` is the
+    in VMEM, bf16 MXU dot, fp32 accumulation).  ``x`` is the already-loaded
+    (possibly prologue-transformed) activation tile; ``w_int8`` the
     already-indexed [block_k, block_n] weight tile."""
     if w8a8:
-        x = x_ref[...].astype(jnp.float32)
+        x = x.astype(jnp.float32)
         absmax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
         x_scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
         x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
@@ -51,7 +52,7 @@ def _accum_tile(acc_ref, x_ref, w_int8, w8a8: bool):
         acc_ref[...] += acc_i32.astype(jnp.float32) * x_scale
     else:
         acc_ref[...] += jax.lax.dot(
-            x_ref[...], w_int8.astype(jnp.bfloat16),
+            x.astype(jnp.bfloat16), w_int8.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
 
@@ -79,7 +80,7 @@ def _qmm_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    _accum_tile(acc_ref, x_ref, wq_ref[...], w8a8=False)
+    _accum_tile(acc_ref, x_ref[...], wq_ref[...], w8a8=False)
 
     @pl.when(ki == num_k - 1)
     def _store():
@@ -305,7 +306,7 @@ def _qmm_w8a8_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    _accum_tile(acc_ref, x_ref, wq_ref[...], w8a8=True)
+    _accum_tile(acc_ref, x_ref[...], wq_ref[...], w8a8=True)
 
     @pl.when(ki == num_k - 1)
     def _store():
@@ -425,46 +426,92 @@ quant_matmul_w8a8_vjp.defvjp(_qmm_w8a8_fwd, _qmm_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _qmm_w8a8_stacked_kernel(
-    idx_ref, x_ref, wq_ref, scale_ref, *refs, num_k, activation=None
-):
-    del idx_ref  # consumed by the BlockSpec index maps
-    bias_ref, o_ref, acc_ref = refs if len(refs) == 3 else (None, *refs)
-    ki = pl.program_id(2)
+def _seg_rows(block_m: int, boundary: int):
+    """[block_m, 1] bool: does this output row belong to the cond segment?
+    Row ids are global (grid i * block_m + in-tile row) — the same
+    row-vs-boundary trick the flash kernel uses for cond_start."""
+    i = pl.program_id(0)
+    rows = i * block_m + jax.lax.broadcasted_iota(jnp.int32, (block_m, 1), 0)
+    return rows >= boundary
 
-    @pl.when(ki == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    _accum_tile(acc_ref, x_ref, wq_ref[0], w8a8=True)
+def _ln_mod_prologue(x_ref, ab_ref, stats_ref, boundary: int):
+    """LayerNorm apply (no learned affine — FLUX convention) + per-segment
+    adaLN affine on the x tile in VMEM (PERF_NOTES headroom #1).
 
-    @pl.when(ki == num_k - 1)
-    def _store():
-        o_ref[...] = _epilogue(
-            acc_ref[...], scale_ref.at[0], None if bias_ref is None else bias_ref.at[0],
-            activation,
-        ).astype(o_ref.dtype)
+    The per-row (mean, rstd) arrive PRECOMPUTED in ``stats_ref`` (cols 0/1
+    of a [block_m, 128] tile): one cheap XLA reduction per stream instead
+    of a VPU lane-reduction per (m, n, k) kernel tile — the in-kernel
+    reduction variant measured ~11 ms/fwd SLOWER at full-dev
+    (benchmarks/fused_ew_ab.py).  Also frees the prologue from the
+    one-k-iteration restriction.  ab rows: 0=a_main 1=b_main 2=a_cond
+    3=b_cond."""
+    xf = x_ref[...].astype(jnp.float32)
+    mean = stats_ref[:, 0:1]
+    rstd = stats_ref[:, 1:2]
+    xn = (xf - mean) * rstd
+    is_cond = _seg_rows(xf.shape[0], boundary)
+    a = jnp.where(is_cond, ab_ref[2:3, :], ab_ref[0:1, :])
+    b = jnp.where(is_cond, ab_ref[3:4, :], ab_ref[1:2, :])
+    return xn * a + b
+
+
+def _gate_res_epilogue(z, resid_ref, gate_ref, is_cond):
+    """out = resid + gate_seg(row) * z (PERF_NOTES headroom #2) — the
+    adaLN-zero gated residual add fused into the matmul store.  gate rows:
+    0=gate_main 1=gate_cond.  ``is_cond`` is computed at kernel-body top
+    level (pl.program_id inside a pl.when region breaks interpret mode)."""
+    g = jnp.where(is_cond, gate_ref[1:2, :], gate_ref[0:1, :])
+    return resid_ref[...].astype(jnp.float32) + g * z
 
 
 def _qmm_stacked_kernel(
-    idx_ref, x_ref, wq_ref, scale_ref, *refs, num_k, activation=None
+    idx_ref, x_ref, wq_ref, scale_ref, *refs,
+    num_k, activation=None, w8a8=False, has_bias=False,
+    ab_boundary=None, res_boundary=None,
 ):
-    del idx_ref
-    bias_ref, o_ref, acc_ref = refs if len(refs) == 3 else (None, *refs)
+    del idx_ref  # consumed by the BlockSpec index maps
+    refs = list(refs)
+    bias_ref = refs.pop(0) if has_bias else None
+    if ab_boundary is not None:
+        ab_ref = refs.pop(0)
+        stats_ref = refs.pop(0)
+    else:
+        ab_ref = stats_ref = None
+    if res_boundary is not None:
+        resid_ref = refs.pop(0)
+        gate_ref = refs.pop(0)
+    else:
+        resid_ref = gate_ref = None
+    o_ref, acc_ref = refs
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    _accum_tile(acc_ref, x_ref, wq_ref[0], w8a8=False)
+    x = (
+        _ln_mod_prologue(x_ref, ab_ref.at[0], stats_ref, ab_boundary)
+        if ab_ref is not None
+        else x_ref[...]
+    )
+    _accum_tile(acc_ref, x, wq_ref[0], w8a8=w8a8)
+
+    res_is_cond = (
+        _seg_rows(o_ref.shape[0], res_boundary)
+        if resid_ref is not None
+        else None
+    )
 
     @pl.when(ki == num_k - 1)
     def _store():
-        o_ref[...] = _epilogue(
+        z = _epilogue(
             acc_ref[...], scale_ref.at[0], None if bias_ref is None else bias_ref.at[0],
             activation,
-        ).astype(o_ref.dtype)
+        )
+        if resid_ref is not None:
+            z = _gate_res_epilogue(z, resid_ref, gate_ref.at[0], res_is_cond)
+        o_ref[...] = z.astype(o_ref.dtype)
 
 
 def _stacked_blocks(k: int, n: int):
@@ -480,6 +527,8 @@ def _stacked_blocks(k: int, n: int):
     wide_n = n >= 4 * k
     if n % 3072 == 0:
         block_n = 3072
+    elif n % 1536 == 0:
+        block_n = 1536  # TP-local shards of the 3072-wide FLUX linears
     else:
         block_n = 2048 if wide_n else 1024
     if k % 3072 == 0:
@@ -505,7 +554,24 @@ def quant_matmul_stacked(
     w8a8: Optional[bool] = None,
     block_n: Optional[int] = None,   # tile overrides (benchmarking; must
     block_k: Optional[int] = None,   # divide N / K — no stack padding)
+    ab: Optional[jnp.ndarray] = None,      # [8, K] fp32 LN+adaLN prologue
+    resid: Optional[jnp.ndarray] = None,   # [M, N] residual stream
+    gate: Optional[jnp.ndarray] = None,    # [8, N] fp32 gate epilogue
+    seg_boundary: int = 0,   # first cond row (static under jit)
 ) -> jnp.ndarray:
+    """Optionally fuses the block's surrounding elementwise work into the
+    matmul (PERF_NOTES headroom #1/#2):
+
+      ab:   y = ((layernorm(x) * a_seg(row) + b_seg(row)) @ W) ...
+            rows 0..3 of ab are a_main/b_main/a_cond/b_cond ([K] each);
+            requires the k grid to be one iteration (K == block_k) so the
+            full feature row is in VMEM — true for every FLUX K=3072 linear.
+      resid+gate: out = resid + gate_seg(row) * (acc * scale + bias)
+            gate rows 0..1 are gate_main/gate_cond ([N] each).
+
+    Row segments split at ``seg_boundary`` ([main | cond] fused streams,
+    B=1 serving).  Callers must fall back when these can't be represented
+    (see models.flux.model helpers)."""
     # Resolve env-dependent defaults OUTSIDE the jit so they participate in
     # the cache key (a trace-time `use_w8a8()` read would pin the first
     # value seen per shape forever).
@@ -520,9 +586,45 @@ def quant_matmul_stacked(
     if block_k is not None:
         assert x.shape[-1] % block_k == 0, (x.shape, block_k)
     return _quant_matmul_stacked_jit(
-        x, w_q3, scale3, blk, bias3,
+        x, w_q3, scale3, blk, bias3, ab, resid, gate,
         activation=activation, block_m=block_m, interpret=interpret,
         w8a8=w8a8, block_n=block_n, block_k=block_k,
+        seg_boundary=seg_boundary,
+    )
+
+
+def _ln_row_stats(x):
+    """[M, K] -> [M, 128] fp32 with col 0 = mean, col 1 = rstd (the
+    kernel-prologue stats operand; 128 lanes for TPU tiling)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-6)
+    return jnp.concatenate(
+        [mean, rstd, jnp.zeros((x.shape[0], 126), jnp.float32)], axis=-1
+    )
+
+
+def _xla_ln_mod(x, ab, boundary):
+    """XLA reference/fallback for the fused LN + segment-affine prologue."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + 1e-6)
+    rows = jnp.arange(x.shape[0])[:, None]
+    a = jnp.where(rows >= boundary, ab[2:3, :], ab[0:1, :])
+    b = jnp.where(rows >= boundary, ab[3:4, :], ab[1:2, :])
+    return (xn * a + b).astype(jnp.bfloat16)
+
+
+def _xla_gate_res(y, resid, gate, boundary):
+    """XLA reference/fallback for the fused gate + residual epilogue."""
+    rows = jnp.arange(y.shape[0])[:, None]
+    g = jnp.where(rows >= boundary, gate[1:2, :], gate[0:1, :])
+    return (resid.astype(jnp.float32) + g * y.astype(jnp.float32)).astype(
+        jnp.bfloat16
     )
 
 
@@ -530,35 +632,47 @@ def quant_matmul_stacked(
     jax.jit,
     static_argnames=(
         "block_m", "interpret", "activation", "w8a8", "block_n", "block_k",
+        "seg_boundary",
     ),
 )
 def _quant_matmul_stacked_jit(
-    x, w_q3, scale3, blk, bias3=None, *,
+    x, w_q3, scale3, blk, bias3=None, ab=None, resid=None, gate=None, *,
     activation=None, block_m=512, interpret=False, w8a8=False,
-    block_n=None, block_k=None,
+    block_n=None, block_k=None, seg_boundary=0,
 ):
     m, k = x.shape
     nb, k2, n = w_q3.shape
     assert k == k2 and scale3.shape == (nb, 1, n), (x.shape, w_q3.shape, scale3.shape)
+    assert (resid is None) == (gate is None)
     auto_n, auto_k = _stacked_blocks(k, n)
     block_n = min(block_n or auto_n, n)
     block_k = min(block_k or auto_k, k)
     if not _stacked_ok(k, n, block_n, block_k):
-        # fall back to the flat kernel on a sliced copy (rare small shapes)
+        # fall back to the flat kernel on a sliced copy (rare small shapes);
+        # prologue/epilogue compose in XLA so semantics are identical
+        if ab is not None:
+            x = _xla_ln_mod(x, ab, seg_boundary)
         qmm = quant_matmul_w8a8 if w8a8 else quant_matmul
-        return qmm(
+        y = qmm(
             x, w_q3[blk], scale3[blk],
             bias=None if bias3 is None else bias3[blk],
             activation=activation, interpret=interpret,
         )
+        if resid is not None:
+            y = _xla_gate_res(y, resid, gate, seg_boundary)
+        return y
+    stats = _ln_row_stats(x) if ab is not None else None
     x = x.astype(jnp.bfloat16)
     block_m = min(block_m, _round_up(m, 128))
     m_pad = _round_up(m, block_m)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+        if resid is not None:
+            resid = jnp.pad(resid, ((0, m_pad - m), (0, 0)))
+        if stats is not None:
+            stats = jnp.pad(stats, ((0, m_pad - m), (0, 0)))
 
     num_k = k // block_k
-    kernel_fn = _qmm_w8a8_stacked_kernel if w8a8 else _qmm_stacked_kernel
     vec_spec = pl.BlockSpec((1, 1, block_n), lambda i, j, ki, b: (b[0], 0, j))
     in_specs = [
         pl.BlockSpec((block_m, block_k), lambda i, j, ki, b: (i, ki)),
@@ -569,6 +683,28 @@ def _quant_matmul_stacked_jit(
     if bias3 is not None:
         in_specs.append(vec_spec)
         args.append(bias3.astype(jnp.float32))
+    if ab is not None:
+        assert ab.shape == (8, k), ab.shape
+        in_specs.append(
+            pl.BlockSpec((1, 8, block_k), lambda i, j, ki, b: (0, 0, ki))
+        )
+        args.append(ab.astype(jnp.float32)[None])
+        in_specs.append(
+            pl.BlockSpec((block_m, 128), lambda i, j, ki, b: (i, 0))
+        )
+        args.append(stats)
+    if resid is not None:
+        assert gate.shape == (8, n), gate.shape
+        # index map ignores ki -> Pallas re-uses the buffer across the k
+        # iterations (one DMA per (i, j) tile, read only at the store)
+        in_specs.append(
+            pl.BlockSpec((block_m, block_n), lambda i, j, ki, b: (i, j))
+        )
+        args.append(resid.astype(jnp.bfloat16))
+        in_specs.append(
+            pl.BlockSpec((1, 8, block_n), lambda i, j, ki, b: (0, 0, j))
+        )
+        args.append(gate.astype(jnp.float32)[None])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m_pad // block_m, n // block_n, num_k),
@@ -577,7 +713,12 @@ def _quant_matmul_stacked_jit(
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(kernel_fn, num_k=num_k, activation=activation),
+        functools.partial(
+            _qmm_stacked_kernel, num_k=num_k, activation=activation,
+            w8a8=w8a8, has_bias=bias3 is not None,
+            ab_boundary=seg_boundary if ab is not None else None,
+            res_boundary=seg_boundary if resid is not None else None,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
@@ -735,6 +876,149 @@ def _qlgs_bwd(res, dy):
 quant_linear_gelu_stacked.defvjp(_qlgs_fwd, _qlgs_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused elementwise variants (serving-hot, but differentiable so the same
+# model code serves QLoRA training: backward recomputes through the
+# unfused composition + the transposed stacked kernel).  Frozen quantized
+# leaves (w/scale/bias) get zero cotangents like every other quant vjp;
+# ab/gate get REAL gradients — they chain back into the (LoRA-targeted)
+# adaLN projections.
+# ---------------------------------------------------------------------------
+
+
+def _ln_stats(x):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-6)
+    return xc * rstd, rstd
+
+
+def _seg_select(vec2, m, boundary):
+    """[2-row fp32] -> [M, D] per-row segment select (main | cond)."""
+    rows = jnp.arange(m)[:, None]
+    return jnp.where(rows >= boundary, vec2[1:2, :], vec2[0:1, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def quant_ln_mod_linear_stacked(seg_boundary, activation, x, w_q3, scale3,
+                                bias3, ab, blk):
+    """act(((layernorm(x) * a_seg + b_seg) @ W_q[blk]) * scale + bias) with
+    the LN + per-segment adaLN affine fused into the kernel's x load
+    (PERF_NOTES headroom #1).  ab: [8, K], rows a_main/b_main/a_cond/b_cond.
+    """
+    return quant_matmul_stacked(
+        x, w_q3, scale3, blk, bias3=bias3, activation=activation,
+        ab=ab, seg_boundary=seg_boundary,
+    )
+
+
+def _qlml_fwd(seg_boundary, activation, x, w_q3, scale3, bias3, ab, blk):
+    return (
+        quant_ln_mod_linear_stacked(
+            seg_boundary, activation, x, w_q3, scale3, bias3, ab, blk
+        ),
+        (x, w_q3, scale3, bias3, ab, blk),
+    )
+
+
+def _qlml_bwd(seg_boundary, activation, res, dy):
+    import numpy as np
+
+    x, w_q3, scale3, bias3, ab, blk = res
+    m, k = x.shape
+    xn, rstd = _ln_stats(x)
+    a_seg = _seg_select(jnp.stack([ab[0], ab[2]]), m, seg_boundary)
+    b_seg = _seg_select(jnp.stack([ab[1], ab[3]]), m, seg_boundary)
+    if activation == "gelu_tanh":
+        x_mod = (xn * a_seg + b_seg).astype(jnp.bfloat16)
+        z = quant_matmul_stacked(x_mod, w_q3, scale3, blk, bias3=bias3)
+        _, act_vjp = jax.vjp(
+            lambda t: jax.nn.gelu(t.astype(jnp.float32), approximate=True), z
+        )
+        (dz,) = act_vjp(dy.astype(jnp.float32))
+        dz = dz.astype(dy.dtype)
+    else:
+        dz = dy
+    dxmod = quant_matmul_t_stacked(dz, w_q3, scale3, blk).astype(jnp.float32)
+    # affine backward
+    dn = dxmod * a_seg
+    is_cond = jnp.arange(m)[:, None] >= seg_boundary
+    da_main = jnp.sum(jnp.where(is_cond, 0.0, dxmod * xn), axis=0)
+    da_cond = jnp.sum(jnp.where(is_cond, dxmod * xn, 0.0), axis=0)
+    db_main = jnp.sum(jnp.where(is_cond, 0.0, dxmod), axis=0)
+    db_cond = jnp.sum(jnp.where(is_cond, dxmod, 0.0), axis=0)
+    dab = jnp.zeros_like(ab).at[0].set(da_main).at[1].set(db_main)
+    dab = dab.at[2].set(da_cond).at[3].set(db_cond)
+    # layernorm backward (no learned affine)
+    dn_mean = jnp.mean(dn, axis=-1, keepdims=True)
+    proj = jnp.mean(dn * xn, axis=-1, keepdims=True)
+    dx = (rstd * (dn - dn_mean - xn * proj)).astype(x.dtype)
+    return (
+        dx,
+        np.zeros(w_q3.shape, jax.dtypes.float0),
+        jnp.zeros_like(scale3),
+        jnp.zeros_like(bias3),
+        dab,
+        np.zeros(jnp.shape(blk), jax.dtypes.float0),
+    )
+
+
+quant_ln_mod_linear_stacked.defvjp(_qlml_fwd, _qlml_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def quant_gate_res_linear_stacked(seg_boundary, x, w_q3, scale3, bias3,
+                                  resid, gate, blk):
+    """resid + gate_seg(row) * ((x @ W_q[blk]) * scale + bias) — the
+    adaLN-zero gated residual add fused into the kernel's store epilogue
+    (PERF_NOTES headroom #2).  gate: [8, N], rows gate_main/gate_cond."""
+    return quant_matmul_stacked(
+        x, w_q3, scale3, blk, bias3=bias3,
+        resid=resid, gate=gate, seg_boundary=seg_boundary,
+    )
+
+
+def _qgrl_fwd(seg_boundary, x, w_q3, scale3, bias3, resid, gate, blk):
+    return (
+        quant_gate_res_linear_stacked(
+            seg_boundary, x, w_q3, scale3, bias3, resid, gate, blk
+        ),
+        (x, w_q3, scale3, bias3, gate, blk),
+    )
+
+
+def _qgrl_bwd(seg_boundary, res, dy):
+    import numpy as np
+
+    x, w_q3, scale3, bias3, gate, blk = res
+    m = x.shape[0]
+    g_seg = _seg_select(jnp.stack([gate[0], gate[1]]), m, seg_boundary)
+    dyf = dy.astype(jnp.float32)
+    dz = (dyf * g_seg).astype(dy.dtype)
+    dx = quant_matmul_t_stacked(dz, w_q3, scale3, blk)
+    z = quant_matmul_stacked(x, w_q3, scale3, blk, bias3=bias3).astype(
+        jnp.float32
+    )
+    is_cond = jnp.arange(m)[:, None] >= seg_boundary
+    dg_main = jnp.sum(jnp.where(is_cond, 0.0, dyf * z), axis=0)
+    dg_cond = jnp.sum(jnp.where(is_cond, dyf * z, 0.0), axis=0)
+    dgate = jnp.zeros_like(gate).at[0].set(dg_main).at[1].set(dg_cond)
+    return (
+        dx,
+        np.zeros(w_q3.shape, jax.dtypes.float0),
+        jnp.zeros_like(scale3),
+        jnp.zeros_like(bias3),
+        dy,
+        dgate,
+        np.zeros(jnp.shape(blk), jax.dtypes.float0),
+    )
+
+
+quant_gate_res_linear_stacked.defvjp(_qgrl_fwd, _qgrl_bwd)
+
+
 @jax.custom_vjp
 def quant_linear_gelu(x, w_q, scale, bias):
     """gelu_tanh((x @ w_q) * scale + bias) with the bias + activation fused
@@ -805,10 +1089,17 @@ def quant_linear_apply(p, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _qmm_qkv_stacked_kernel(
-    idx_ref, x_ref, wq_ref, scale_ref, bias_ref, nw_ref, o_ref, acc_ref,
-    *, num_k, jh, head_dim, w8a8, eps=1e-6,
+    idx_ref, x_ref, wq_ref, scale_ref, bias_ref, nw_ref, *refs,
+    num_k, jh, head_dim, w8a8, ab_boundary=None, eps=1e-6,
 ):
     del idx_ref
+    refs = list(refs)
+    if ab_boundary is not None:
+        ab_ref = refs.pop(0)
+        stats_ref = refs.pop(0)
+    else:
+        ab_ref = stats_ref = None
+    o_ref, acc_ref = refs
     ki = pl.program_id(2)
     seg = pl.program_id(1) // jh  # 0=q, 1=k, 2=v
 
@@ -816,7 +1107,12 @@ def _qmm_qkv_stacked_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    _accum_tile(acc_ref, x_ref, wq_ref[0], w8a8=w8a8)
+    x = (
+        _ln_mod_prologue(x_ref, ab_ref.at[0], stats_ref, ab_boundary)
+        if ab_ref is not None
+        else x_ref[...]
+    )
+    _accum_tile(acc_ref, x, wq_ref[0], w8a8=w8a8)
 
     @pl.when(ki == num_k - 1)
     def _store():
@@ -849,14 +1145,19 @@ def quant_qkv_stacked(
     block_m: int = 512,
     interpret: Optional[bool] = None,
     w8a8: Optional[bool] = None,
+    ab: Optional[jnp.ndarray] = None,   # [8, K] LN+adaLN prologue (B=1)
+    seg_boundary: int = 0,
 ):
     """(q, k, v) each [M, H] with per-head RMS already applied to q and k.
 
     Forward-only (serving): LoRA-carrying projections are never fused
     (ops/quant.fuse_qkv_projections skips them), so no custom_vjp needed.
-    Shapes the stacked tiling can't cover (K not divisible by the k-tile,
-    H not a lane multiple on hardware) fall back to the flat kernel on a
-    sliced stack + XLA split/RMS, mirroring `_quant_matmul_stacked_jit`.
+    ``ab`` fuses the block's layernorm + per-segment adaLN affine into the
+    kernel's x load (same contract as `quant_matmul_stacked`; requires one
+    k-iteration, true at FLUX K=3072).  Shapes the stacked tiling can't
+    cover (K not divisible by the k-tile, H not a lane multiple on
+    hardware) fall back to the flat kernel on a sliced stack + XLA
+    split/RMS, mirroring `_quant_matmul_stacked_jit`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -877,6 +1178,8 @@ def quant_qkv_stacked(
         and (interpret or block_n % 128 == 0)
     )
     if not supported:
+        if ab is not None:
+            x = _xla_ln_mod(x, ab, seg_boundary)
         qmm = quant_matmul_w8a8 if w8a8 else quant_matmul
         y = qmm(
             x, w_q3[blk], scale3[blk],
@@ -898,18 +1201,20 @@ def quant_qkv_stacked(
             v.astype(jnp.bfloat16),
         )
     out = _quant_qkv_stacked_jit(
-        x, w_q3, scale3, bias3, norm_w, blk,
+        x, w_q3, scale3, bias3, norm_w, blk, ab,
         head_dim=head_dim, block_m=block_m, interpret=interpret, w8a8=w8a8,
+        seg_boundary=seg_boundary,
     )
     return out[0], out[1], out[2]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("head_dim", "block_m", "interpret", "w8a8")
+    jax.jit,
+    static_argnames=("head_dim", "block_m", "interpret", "w8a8", "seg_boundary"),
 )
 def _quant_qkv_stacked_jit(
-    x, w_q3, scale3, bias3, norm_w, blk, *,
-    head_dim, block_m=512, interpret=False, w8a8=False,
+    x, w_q3, scale3, bias3, norm_w, blk, ab=None, *,
+    head_dim, block_m=512, interpret=False, w8a8=False, seg_boundary=0,
 ):
     m, k = x.shape
     nb, k2, n3 = w_q3.shape
@@ -925,27 +1230,45 @@ def _quant_qkv_stacked_jit(
     block_k = min(block_k, k)
     assert k % block_k == 0, (k, block_k)
 
+    stats = _ln_row_stats(x) if ab is not None else None
     x = x.astype(jnp.bfloat16)
     block_m = min(block_m, _round_up(m, 128))
     m_pad = _round_up(m, block_m)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+        if stats is not None:
+            stats = jnp.pad(stats, ((0, m_pad - m), (0, 0)))
 
     jh = h // block_n
     num_k = k // block_k
     vec_spec = pl.BlockSpec((1, 1, block_n), lambda i, j, ki, b: (b[0], 0, j))
+    in_specs = [
+        pl.BlockSpec((block_m, block_k), lambda i, j, ki, b: (i, ki)),
+        pl.BlockSpec((1, block_k, block_n), lambda i, j, ki, b: (b[0], ki, j)),
+        vec_spec,
+        vec_spec,
+        pl.BlockSpec(
+            (1, 1, block_n), lambda i, j, ki, b: (j // jh, 0, j % jh)
+        ),
+    ]
+    args = [
+        x, w_q3, scale3.astype(jnp.float32), bias3.astype(jnp.float32),
+        norm_w.astype(jnp.float32),
+    ]
+    if ab is not None:
+        assert ab.shape == (8, k), ab.shape
+        in_specs.append(
+            pl.BlockSpec((1, 8, block_k), lambda i, j, ki, b: (0, 0, ki))
+        )
+        args.append(ab.astype(jnp.float32)[None])
+        in_specs.append(
+            pl.BlockSpec((block_m, 128), lambda i, j, ki, b: (i, 0))
+        )
+        args.append(stats)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m_pad // block_m, 3 * jh, num_k),
-        in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, ki, b: (i, ki)),
-            pl.BlockSpec((1, block_k, block_n), lambda i, j, ki, b: (b[0], ki, j)),
-            vec_spec,
-            vec_spec,
-            pl.BlockSpec(
-                (1, 1, block_n), lambda i, j, ki, b: (j // jh, 0, j % jh)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, block_m, block_n), lambda i, j, ki, b: (j // jh, i, j % jh)
         ),
@@ -955,6 +1278,7 @@ def _quant_qkv_stacked_jit(
         functools.partial(
             _qmm_qkv_stacked_kernel,
             num_k=num_k, jh=jh, head_dim=head_dim, w8a8=w8a8,
+            ab_boundary=seg_boundary if ab is not None else None,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, m_pad, h), jnp.bfloat16),
@@ -968,9 +1292,5 @@ def _quant_qkv_stacked_jit(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(
-        jnp.asarray(blk, jnp.int32).reshape(1), x, w_q3,
-        scale3.astype(jnp.float32), bias3.astype(jnp.float32),
-        norm_w.astype(jnp.float32),
-    )
+    )(jnp.asarray(blk, jnp.int32).reshape(1), *args)
     return out[:, :m]

@@ -106,6 +106,13 @@ _TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r"single_blocks/proj_mlp/kernel_scale", P(None, None, "tensor")),
     (r"single_blocks/proj_mlp/bias", P(None, "tensor")),
     (r"single_blocks/proj_out/kernel(_q)?$", P(None, "tensor", None)),
+    # TP-layout fused qkv (quant.fuse_qkv_projections(tp_layout=True)):
+    # q/k/v stacked on their own axis so the HEAD axis (last) shards
+    # without cutting the q/k/v boundary — consumed per-shard by
+    # parallel/tp_quant.tp_quant_qkv_stacked
+    (r"(to_qkv|add_qkv_proj)/kernel(_q)?$", P(None, None, None, "tensor")),
+    (r"(to_qkv|add_qkv_proj)/kernel_scale", P(None, None, None, "tensor")),
+    (r"(to_qkv|add_qkv_proj)/bias", P(None, None, "tensor")),
 )
 
 
@@ -128,19 +135,24 @@ def param_sharding_rules(
     tensor_parallel=False or the tensor axis is trivial."""
     use_tp = tensor_parallel and mesh.shape.get("tensor", 1) > 1
     if use_tp:
-        # serving-fused qkv trees are incompatible with TP: the rules shard
-        # the UNfused to_q/to_k/to_v output axes (a fused [K, 3H] column
-        # shard would split heads across q/k/v boundaries), and silently
-        # replicating the fused stacks would defeat the memory split
-        fused = [
+        # FLAT serving-fused qkv ([*, K, 3H]) is incompatible with TP — a
+        # column shard of the fused axis would split heads across q/k/v
+        # boundaries.  The TP-LAYOUT form ([*, K, 3, H], q/k/v stacked on
+        # their own axis; fuse_qkv_projections(tp_layout=True)) shards its
+        # head axis cleanly and is allowed.
+        flat_fused = [
             _path_str(p)
-            for p, _ in jax.tree_util.tree_leaves_with_path(params)
-            if "to_qkv" in _path_str(p) or "add_qkv_proj" in _path_str(p)
+            for p, leaf in jax.tree_util.tree_leaves_with_path(params)
+            if ("to_qkv" in _path_str(p) or "add_qkv_proj" in _path_str(p))
+            and _path_str(p).split("/")[-1] in ("kernel", "kernel_q")
+            and getattr(leaf, "ndim", 0) in (2, 3)
         ]
-        if fused:
+        if flat_fused:
             raise ValueError(
-                "tensor parallelism requires unfused qkv projections "
-                f"(found {fused[0]}...): quantize with fuse_qkv=False"
+                "tensor parallelism requires unfused or TP-layout fused "
+                f"qkv projections (found flat-fused {flat_fused[0]}...): "
+                "quantize with fuse_qkv=False, or re-fuse with "
+                "fuse_qkv_projections(tp_layout=True)"
             )
 
     def rule(path, leaf):

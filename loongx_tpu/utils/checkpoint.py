@@ -69,6 +69,26 @@ def _ckptr():
     return ocp.StandardCheckpointer()
 
 
+def _restore_tree(ckptr, path: str):
+    """Restore an orbax tree onto the CURRENT default device.
+
+    A bare ``restore(path)`` resolves the sharding saved in the checkpoint
+    metadata by device NAME — which fails (or silently pins to the wrong
+    backend) when the checkpoint was written on a different platform, e.g.
+    converted on the CPU host and served from a TPU (the 12B staging flow,
+    cli/convert.py --quantize).  Restoring against an abstract
+    shape/dtype target sidesteps the saved-device lookup entirely."""
+    meta = ckptr.metadata(path)
+    meta = getattr(meta, "item_metadata", meta)
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    target = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        meta,
+        is_leaf=lambda m: hasattr(m, "shape"),
+    )
+    return ckptr.restore(path, target)
+
+
 def save_train_checkpoint(
     path: str, step: int, trainable, opt_state,
     fingerprint: Optional[Dict[str, Any]] = None,
@@ -135,7 +155,14 @@ def latest_checkpoint(path: str) -> Optional[str]:
 
 
 def save_pipeline(pipe, path: str) -> str:
-    """Save a full pipeline: configs as json + params via orbax."""
+    """Save a full pipeline: configs as json + params via orbax.
+
+    Each component ("flux", "vae", "t5", ...) is saved as its OWN orbax
+    checkpoint under ``params/<name>`` so serving can stage loads — at the
+    12B flux-dev scale the int8 DiT (~12 GB) and int8 T5-XXL (~4.8 GB)
+    cannot be co-resident on a ~16 GB chip; the recipe is: load text
+    encoders, encode prompts, free them, then load the DiT
+    (`load_pipeline(components=...)`, docs/WEIGHTS.md)."""
     os.makedirs(path, exist_ok=True)
     cfgs = {
         "flux": dataclasses.asdict(pipe.flux_cfg),
@@ -147,12 +174,18 @@ def save_pipeline(pipe, path: str) -> str:
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(cfgs, f, indent=2)
     ckptr = _ckptr()
-    ckptr.save(os.path.abspath(os.path.join(path, "params")), pipe.params)
+    for name, tree in pipe.params.items():
+        ckptr.save(
+            os.path.abspath(os.path.join(path, "params", name)), tree
+        )
     ckptr.wait_until_finished()
     return path
 
 
-def load_pipeline(path: str, dtype=None):
+def load_pipeline(path: str, dtype=None, components=None):
+    """Load a pipeline directory.  ``components`` restricts which param
+    trees are restored (e.g. ("flux", "vae") for the staged 12B serving
+    recipe); None loads everything present."""
     from loongx_tpu.models.flux.model import FluxConfig
     from loongx_tpu.models.flux.vae import VAEConfig
     from loongx_tpu.models.pipeline import LoongXPipeline
@@ -173,7 +206,30 @@ def load_pipeline(path: str, dtype=None):
     t5_cfg = build(T5Config, cfgs["t5"])
     clip_cfg = build(CLIPTextConfig, cfgs["clip"])
     ckptr = _ckptr()
-    params = ckptr.restore(os.path.abspath(os.path.join(path, "params")))
+    params_dir = os.path.abspath(os.path.join(path, "params"))
+    sub = [
+        d for d in (sorted(os.listdir(params_dir))
+                    if os.path.isdir(params_dir) else [])
+        if os.path.isdir(os.path.join(params_dir, d))
+        and not d.startswith(("_", "."))
+        and d not in ("ocdbt.process_0", "d")
+    ]
+    per_component = any(
+        os.path.exists(os.path.join(params_dir, d, "_CHECKPOINT_METADATA"))
+        or os.path.exists(os.path.join(params_dir, d, "_METADATA"))
+        for d in sub
+    )
+    if per_component:
+        names = [d for d in sub if components is None or d in components]
+        params = {
+            name: _restore_tree(ckptr, os.path.join(params_dir, name))
+            for name in names
+        }
+    else:
+        # pre-round-3 layout: one orbax tree holding every component
+        params = _restore_tree(ckptr, params_dir)
+        if components is not None:
+            params = {k: v for k, v in params.items() if k in components}
 
     def _tok(cls_name, sub):
         tok_dir = os.path.join(path, sub)

@@ -326,6 +326,42 @@ def test_int8_qk_scores_close_to_exact(monkeypatch):
         assert corr > 0.999, (mode, corr)
 
 
+def test_int8_qk_multitile_cached_close_to_exact(monkeypatch):
+    """Round 3: int8 scores on MULTI-TILE grids (long S) via the in-kernel
+    quantized q/k scratch caches must match the exact path — every (q, kv)
+    tile combination reads back cached int8 tiles instead of re-quantizing.
+    """
+    import numpy as np
+
+    from loongx_tpu.ops.flash_attention import flash_attention
+    from loongx_tpu.ops.rope import rope_embed
+
+    b, h, s, d = 1, 2, 384, 64
+    cond_start = 256
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 32, (s, 3)), jnp.float32)
+    rope = rope_embed(ids, (16, 24, 24))
+
+    for bq, bk in ((128, 128), (128, 384), (384, 128)):
+        monkeypatch.setenv("LOONGX_INT8_ATTN", "0")
+        exact = flash_attention(
+            q, k, v, cond_start=cond_start, rope=rope, block_q=bq, block_k=bk
+        )
+        monkeypatch.setenv("LOONGX_INT8_ATTN", "1")
+        got = flash_attention(
+            q, k, v, cond_start=cond_start, rope=rope, block_q=bq, block_k=bk
+        )
+        e = np.asarray(exact, np.float32)
+        g = np.asarray(got, np.float32)
+        rms = np.sqrt(np.mean((g - e) ** 2)) / np.sqrt(np.mean(e ** 2))
+        assert 0 < rms < 0.03, ((bq, bk), rms)
+        corr = np.corrcoef(g.ravel(), e.ravel())[0, 1]
+        assert corr > 0.999, ((bq, bk), corr)
+
+
 def test_int8_qk_forced_off_under_grad(monkeypatch):
     """Training safety: with LOONGX_INT8_ATTN=1, gradients must be computed
     from the bf16-score forward (the backward kernels rebuild probabilities
@@ -377,9 +413,11 @@ def test_int8_qk_bshd_with_padding(monkeypatch):
     assert 0 < rms < 0.03, rms  # >0: the int8 path actually ran
 
 
-def test_int8_qk_auto_disabled_on_multi_tile(monkeypatch):
-    """Multi-tile grids re-quantize q/k per grid step (measured slower) —
-    the kernel must silently fall back to bf16 scores there."""
+def test_int8_qk_stays_active_on_multi_tile(monkeypatch):
+    """Round 3 flipped the round-2 auto-disable: multi-tile grids keep int8
+    scores ACTIVE via the quantized-tile scratch caches — the output must
+    genuinely differ from bf16 scores (the path ran) while staying within
+    int8 logit noise."""
     import numpy as np
 
     from loongx_tpu.ops.flash_attention import flash_attention
@@ -398,4 +436,6 @@ def test_int8_qk_auto_disabled_on_multi_tile(monkeypatch):
     got = flash_attention(
         q, k, v, cond_start=s, block_q=256, block_k=256
     )
-    np.testing.assert_array_equal(np.asarray(exact), np.asarray(got))
+    e, g = np.asarray(exact, np.float32), np.asarray(got, np.float32)
+    rms = np.sqrt(np.mean((g - e) ** 2)) / np.sqrt(np.mean(e ** 2))
+    assert 0 < rms < 0.03, rms

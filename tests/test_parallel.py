@@ -196,3 +196,56 @@ class TestQuantizedTP:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
         )
+
+
+    def test_tp_stacked_quant_kernels_forward_match(self, monkeypatch):
+        """Round-3: under an active tp_context the stacked Pallas quant
+        kernels (incl. the TP-layout fused qkv and the fused LN/gate
+        elementwise) run PER SHARD via shard_map (parallel/tp_quant.py)
+        instead of falling back to the XLA dequant dot — and must match the
+        unsharded quantized forward."""
+        from loongx_tpu.models.flux.model import flux_forward
+        from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
+        from loongx_tpu.parallel.mesh import tp_context
+
+        pipe = LoongXPipeline.tiny(jax.random.key(0))
+        cfg = pipe.flux_cfg
+        params_q = quantize_tree(pipe.params["flux"])
+        batch = dict(
+            img=jax.random.normal(jax.random.key(1), (1, 16, cfg.in_channels)),
+            txt=jax.random.normal(jax.random.key(2), (1, 4, cfg.joint_dim)),
+            pooled=jax.random.normal(jax.random.key(3), (1, cfg.pooled_dim)),
+            timestep=jnp.array([0.5]),
+            guidance=jnp.array([3.5]),
+            img_ids=latent_image_ids(8, 8),
+            txt_ids=jnp.zeros((4, 3)),
+            cond=jax.random.normal(jax.random.key(4), (1, 16, cfg.in_channels)),
+            cond_ids=latent_image_ids(8, 8),
+        )
+        monkeypatch.setenv("LOONGX_STACKED_QMM", "0")
+        ref = flux_forward(params_q, cfg, **batch, attn_backend="xla")
+
+        fused = dict(params_q)
+        fused["double_blocks"] = fuse_qkv_projections(
+            params_q["double_blocks"], tp_layout=True
+        )
+        fused["single_blocks"] = fuse_qkv_projections(
+            params_q["single_blocks"], tp_layout=True
+        )
+        assert fused["double_blocks"]["attn"]["to_qkv"]["kernel_q"].ndim == 4
+
+        mesh = make_mesh(data=4, tensor=2)
+        rules = param_sharding_rules(fused, mesh)
+        assert rules["double_blocks"]["attn"]["to_qkv"]["kernel_q"].spec == P(
+            None, None, None, "tensor"
+        )
+        params_sh = shard_params(fused, mesh)
+        monkeypatch.setenv("LOONGX_STACKED_QMM", "1")
+        with tp_context(mesh):
+            out = jax.jit(
+                lambda p, b: flux_forward(p, cfg, **b, attn_backend="xla")
+            )(params_sh, batch)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )

@@ -499,6 +499,61 @@ def test_fused_qkv_matches_unfused(monkeypatch):
     )
 
 
+def test_stacked_fused_elementwise_with_cond_matches_sliced(monkeypatch):
+    """The fused LN+adaLN prologue / gate+residual epilogue paths (stacked
+    serving, B=1, WITH a condition stream so the row-segment boundary logic
+    is exercised) must reproduce the plain sliced scan."""
+    from loongx_tpu.models.flux.model import (
+        FluxConfig, flux_forward, init_flux_params,
+    )
+    from loongx_tpu.ops.latents import latent_image_ids
+    from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
+
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    params["double_blocks"] = quantize_tree(params["double_blocks"])
+    params["single_blocks"] = quantize_tree(params["single_blocks"])
+    params["double_blocks"] = fuse_qkv_projections(params["double_blocks"])
+    params["single_blocks"] = fuse_qkv_projections(params["single_blocks"])
+
+    b, s_img, s_txt = 1, 16, 4
+    kwargs = dict(
+        img=jax.random.normal(jax.random.key(1), (b, s_img, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.key(2), (b, s_txt, cfg.joint_dim)),
+        pooled=jax.random.normal(jax.random.key(3), (b, cfg.pooled_dim)),
+        timestep=jnp.full((b,), 0.5),
+        guidance=jnp.full((b,), 3.5),
+        img_ids=latent_image_ids(8, 8),
+        txt_ids=jnp.zeros((s_txt, 3)),
+        cond=jax.random.normal(jax.random.key(4), (b, s_img, cfg.in_channels)),
+        cond_ids=latent_image_ids(8, 8),
+    )
+    monkeypatch.setenv("LOONGX_STACKED_QMM", "0")
+    ref = flux_forward(params, cfg, **kwargs)
+    monkeypatch.setenv("LOONGX_STACKED_QMM", "1")
+    # fused-elementwise knobs default OFF (measured MXU stall at full-dev,
+    # benchmarks/fused_ew_ab.py) — force ON so the kernel paths stay covered
+    monkeypatch.setenv("LOONGX_FUSE_LN", "1")
+    monkeypatch.setenv("LOONGX_FUSE_GATE", "1")
+    got = flux_forward(params, cfg, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+    # batch 2 must still work (fused elementwise auto-disables; segment
+    # semantics preserved by the XLA fallback)
+    kwargs2 = {
+        k: (jnp.concatenate([v, v]) if k in
+            ("img", "txt", "pooled", "timestep", "guidance", "cond") else v)
+        for k, v in kwargs.items()
+    }
+    got2 = flux_forward(params, cfg, **kwargs2)
+    np.testing.assert_allclose(
+        np.asarray(got2[0], np.float32), np.asarray(got[0], np.float32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
 def test_fused_qkv_skips_lora_projections():
     """A LoRA delta on any q/k/v projection must leave that triple unfused
     (adapters address the projections individually)."""
