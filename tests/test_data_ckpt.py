@@ -324,6 +324,27 @@ class TestCheckpoint:
         assert len(a) == len(b)
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
 
+    def test_pipeline_staged_component_load(self, tmp_path):
+        """Per-component orbax layout (round 3): the 12B serving recipe
+        loads ("t5","clip","vae") for prompt encode, then ("flux",) — the
+        component trees restore independently and match the originals."""
+        from loongx_tpu.models.pipeline import LoongXPipeline
+        from loongx_tpu.utils.checkpoint import save_pipeline, load_pipeline
+
+        pipe = LoongXPipeline.tiny(jax.random.key(0))
+        save_pipeline(pipe, str(tmp_path / "pipe"))
+        text_stage = load_pipeline(
+            str(tmp_path / "pipe"), components=("t5", "clip", "vae")
+        )
+        assert set(text_stage.params) == {"t5", "clip", "vae"}
+        dit_stage = load_pipeline(str(tmp_path / "pipe"), components=("flux",))
+        assert set(dit_stage.params) == {"flux"}
+        for orig, got in zip(
+            jax.tree.leaves(pipe.params["flux"]),
+            jax.tree.leaves(dit_stage.params["flux"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(orig), np.asarray(got))
+
 
 class TestReferenceConfigParity:
     def test_reference_yaml_schema_loads(self, tmp_path):
