@@ -205,16 +205,29 @@ def main():
     t5_layers = 2 if TINY else 24
     out = os.path.join(ROOT, "converted")
 
-    if not os.path.isdir(os.path.join(ROOT, "flux")):
-        t0 = time.time()
-        print("[rehearsal] synthesizing diffusers-layout checkpoints ...",
+    t0 = time.time()
+    synthed = []
+    for name, fn in (
+        ("flux", lambda d: synth_flux(d, nd, ns)),
+        ("t5", lambda d: synth_t5(d, t5_layers)),
+        ("clip", synth_clip),
+        ("vae", synth_vae),
+    ):
+        d = os.path.join(ROOT, name)
+        marker = os.path.join(d, ".complete")
+        if os.path.exists(marker):
+            continue
+        # a dir without the marker is a partial synth from an interrupted run
+        shutil.rmtree(d, ignore_errors=True)
+        print(f"[rehearsal] synthesizing diffusers-layout {name} ...",
               flush=True)
-        synth_flux(os.path.join(ROOT, "flux"), nd, ns)
-        synth_t5(os.path.join(ROOT, "t5"), t5_layers)
-        synth_clip(os.path.join(ROOT, "clip"))
-        synth_vae(os.path.join(ROOT, "vae"))
+        fn(d)
+        open(marker, "w").close()
+        synthed.append(name)
+    if synthed:
         report["synth_s"] = round(time.time() - t0, 1)
-        print(f"[rehearsal] synthesized in {report['synth_s']}s", flush=True)
+        print(f"[rehearsal] synthesized {synthed} in {report['synth_s']}s",
+              flush=True)
 
     from loongx_tpu.cli import convert as convert_cli
 
@@ -295,6 +308,9 @@ def main():
     ok = bool(jnp.all(jnp.isfinite(out_lat.astype(jnp.float32))))
     report["denoise2_s"] = round(time.time() - t0, 1)
     report["finite"] = ok
+    stats = jax.local_devices()[0].memory_stats() or {}
+    if "peak_bytes_in_use" in stats:
+        report["peak_hbm_gib"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
     assert ok
     print(json.dumps(report))
 

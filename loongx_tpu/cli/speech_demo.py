@@ -17,6 +17,42 @@ import os
 from typing import Optional
 
 
+def _is_local_hf_dir(path: str) -> bool:
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "config.json")
+    )
+
+
+def _read_audio(audio_path: str, target_rate: int = 16000):
+    """Audio file -> mono float waveform at 16 kHz (numpy)."""
+    import numpy as np
+
+    try:
+        import soundfile as sf  # type: ignore
+
+        audio, rate = sf.read(audio_path, dtype="float32")
+    except ImportError:
+        import wave
+
+        with wave.open(audio_path, "rb") as w:
+            rate = w.getframerate()
+            raw = np.frombuffer(
+                w.readframes(w.getnframes()), dtype=np.int16
+            )
+            audio = (raw / 32768.0).astype(np.float32)
+            if w.getnchannels() > 1:
+                audio = audio.reshape(-1, w.getnchannels())
+    if audio.ndim > 1:
+        audio = audio.mean(axis=1)
+    if rate != target_rate:  # crude host-side resample, off the hot path
+        n = int(len(audio) * target_rate / rate)
+        audio = np.interp(
+            np.linspace(0.0, len(audio) - 1.0, n),
+            np.arange(len(audio)), audio,
+        ).astype(np.float32)
+    return audio
+
+
 def transcribe(
     audio_path: str,
     whisper_path: str = "openai/whisper-large",
@@ -24,21 +60,40 @@ def transcribe(
     language: str = "zh",
 ) -> str:
     """Audio file -> (optionally translated) instruction text
-    (reference inference-demo.py:92-133)."""
-    import whisper  # type: ignore
+    (reference inference-demo.py:92-133).
 
-    model = whisper.load_model(whisper_path)
-    result = model.transcribe(audio_path, language=language)
-    text = result["text"].strip()
-    if translate_path and language != "en":
-        from transformers import MarianMTModel, MarianTokenizer
+    A local HF-layout checkout (config.json + safetensors + tokenizer)
+    runs the in-framework JAX Whisper/Marian (models/text/whisper.py,
+    marian.py — golden-tested vs torch); otherwise falls back to the
+    ``whisper`` package the reference uses."""
+    if _is_local_hf_dir(whisper_path):
+        from loongx_tpu.models.text.whisper import WhisperASR
 
-        tok = MarianTokenizer.from_pretrained(translate_path)
-        mt = MarianMTModel.from_pretrained(translate_path)
-        batch = tok([text], return_tensors="pt", padding=True)
-        text = tok.decode(
-            mt.generate(**batch)[0], skip_special_tokens=True
+        text = WhisperASR.from_pretrained(whisper_path).transcribe(
+            _read_audio(audio_path), language=language
         )
+    else:
+        import whisper  # type: ignore
+
+        model = whisper.load_model(whisper_path)
+        result = model.transcribe(audio_path, language=language)
+        text = result["text"].strip()
+    if translate_path and language != "en":
+        if _is_local_hf_dir(translate_path):
+            from loongx_tpu.models.text.marian import MarianTranslator
+
+            text = MarianTranslator.from_pretrained(translate_path).translate(
+                text
+            )
+        else:
+            from transformers import MarianMTModel, MarianTokenizer
+
+            tok = MarianTokenizer.from_pretrained(translate_path)
+            mt = MarianMTModel.from_pretrained(translate_path)
+            batch = tok([text], return_tensors="pt", padding=True)
+            text = tok.decode(
+                mt.generate(**batch)[0], skip_special_tokens=True
+            )
     return text
 
 

@@ -1,0 +1,455 @@
+"""Whisper ASR in JAX (the speech-instruction path, TPU-native).
+
+The reference demo drives editing from speech via the ``whisper`` package
+(/root/reference/inference-demo.py:31-43,92-133: whisper-large zh
+transcription, then MarianMT zh->en).  That package is CUDA/torch; this
+module is a from-scratch JAX implementation of the Whisper
+encoder-decoder — log-mel frontend, conv-downsampled audio encoder,
+KV-free greedy decoder — so the speech path runs on the same TPU runtime
+as everything else.  Weights convert from HF safetensors
+(utils/convert.convert_whisper_state); numerics are golden-tested against
+``transformers`` WhisperForConditionalGeneration (tests/test_speech_models.py).
+
+Decoding note: instructions are short (tens of tokens), so each greedy
+step re-runs the full decoder over a fixed-length token buffer instead of
+carrying a KV cache — static shapes, one compiled ``lax.scan``, and the
+decoder cost is noise next to the 1500-frame encoder pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from loongx_tpu.ops.nn import (
+    Params, init_layer_norm, init_linear, layer_norm, qdot,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    vocab_size: int = 51865
+    num_mel_bins: int = 80
+    d_model: int = 1280
+    encoder_layers: int = 32
+    decoder_layers: int = 32
+    num_heads: int = 20
+    d_ff: int = 5120
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    decoder_start_token_id: int = 50258  # <|startoftranscript|>
+    eos_token_id: int = 50257
+    layer_norm_eps: float = 1e-5
+    # frontend (HF WhisperFeatureExtractor defaults)
+    sampling_rate: int = 16000
+    n_fft: int = 400
+    hop_length: int = 160
+
+    @staticmethod
+    def large() -> "WhisperConfig":
+        return WhisperConfig()
+
+    @staticmethod
+    def tiny() -> "WhisperConfig":
+        return WhisperConfig(
+            vocab_size=100, num_mel_bins=8, d_model=32, encoder_layers=2,
+            decoder_layers=2, num_heads=4, d_ff=64, max_source_positions=24,
+            max_target_positions=16, decoder_start_token_id=1, eos_token_id=2,
+        )
+
+    @staticmethod
+    def from_hf(cfg: dict) -> "WhisperConfig":
+        return WhisperConfig(
+            vocab_size=cfg["vocab_size"],
+            num_mel_bins=cfg["num_mel_bins"],
+            d_model=cfg["d_model"],
+            encoder_layers=cfg["encoder_layers"],
+            decoder_layers=cfg["decoder_layers"],
+            num_heads=cfg["encoder_attention_heads"],
+            d_ff=cfg["encoder_ffn_dim"],
+            max_source_positions=cfg["max_source_positions"],
+            max_target_positions=cfg["max_target_positions"],
+            decoder_start_token_id=cfg["decoder_start_token_id"],
+            eos_token_id=cfg["eos_token_id"],
+        )
+
+    @property
+    def n_frames(self) -> int:
+        # the stride-2 conv halves frames onto the encoder positions
+        # (2*1500 frames = 30 s at hop 160 for the published models)
+        return 2 * self.max_source_positions
+
+    @property
+    def n_samples(self) -> int:
+        return self.n_frames * self.hop_length
+
+
+# ---------------------------------------------------------------------------
+# Log-mel frontend (HF WhisperFeatureExtractor numerics)
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel_slaney(freq: np.ndarray) -> np.ndarray:
+    mels = 3.0 * freq / 200.0
+    min_log_hz, min_log_mel = 1000.0, 15.0
+    logstep = 27.0 / np.log(6.4)
+    return np.where(
+        freq >= min_log_hz,
+        min_log_mel + np.log(np.maximum(freq, min_log_hz) / min_log_hz) * logstep,
+        mels,
+    )
+
+
+def _mel_to_hz_slaney(mels: np.ndarray) -> np.ndarray:
+    freq = 200.0 * mels / 3.0
+    min_log_hz, min_log_mel = 1000.0, 15.0
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        mels >= min_log_mel,
+        min_log_hz * np.exp(logstep * (mels - min_log_mel)),
+        freq,
+    )
+
+
+def mel_filter_bank(
+    n_freqs: int, n_mels: int, sampling_rate: int, max_frequency: float
+) -> np.ndarray:
+    """Slaney-scale, slaney-normalised triangular filters [n_freqs, n_mels]
+    (what WhisperFeatureExtractor builds for its mel projection)."""
+    fft_freqs = np.linspace(0.0, sampling_rate / 2, n_freqs)
+    mel_pts = np.linspace(
+        _hz_to_mel_slaney(np.asarray(0.0)),
+        _hz_to_mel_slaney(np.asarray(max_frequency)),
+        n_mels + 2,
+    )
+    hz_pts = _mel_to_hz_slaney(mel_pts)
+    slopes = hz_pts[None, :] - fft_freqs[:, None]  # [F, n_mels+2]
+    diffs = hz_pts[1:] - hz_pts[:-1]
+    down = -slopes[:, :-2] / diffs[:-1]
+    up = slopes[:, 2:] / diffs[1:]
+    weights = np.maximum(0.0, np.minimum(down, up))
+    weights *= (2.0 / (hz_pts[2:] - hz_pts[:-2]))[None, :]  # slaney norm
+    return weights.astype(np.float32)
+
+
+def log_mel_spectrogram(
+    audio: jnp.ndarray, cfg: WhisperConfig, mel_filters: jnp.ndarray
+) -> jnp.ndarray:
+    """Padded/truncated mono audio [B, n_samples] -> log-mel features
+    [B, num_mel_bins, n_frames] matching WhisperFeatureExtractor: centered
+    hann STFT (reflect pad), power spectrum, slaney mel, log10, max-8 floor,
+    (x+4)/4 scaling."""
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    x = audio.astype(jnp.float32)
+    x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    n_frames = cfg.n_frames  # HF computes one extra frame then drops it
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    n = jnp.arange(n_fft, dtype=jnp.float32)
+    window = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / n_fft)  # periodic hann
+    frames = x[:, idx] * window
+    power = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2  # [B, F, n_fft//2+1]
+    mel = jnp.einsum("bfk,km->bmf", power, mel_filters)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    floor = jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0
+    return (jnp.maximum(log_spec, floor) + 4.0) / 4.0
+
+
+def prepare_audio(audio: np.ndarray, cfg: WhisperConfig) -> np.ndarray:
+    """Raw mono waveform -> fixed 30 s [1, n_samples] float32."""
+    audio = np.asarray(audio, np.float32).reshape(-1)[: cfg.n_samples]
+    out = np.zeros((1, cfg.n_samples), np.float32)
+    out[0, : audio.shape[0]] = audio
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def _init_attn(key, d: int, dtype, cross: bool = False) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "q": init_linear(ks[0], d, d, dtype=dtype),
+        "k": init_linear(ks[1], d, d, bias=False, dtype=dtype),
+        "v": init_linear(ks[2], d, d, dtype=dtype),
+        "o": init_linear(ks[3], d, d, dtype=dtype),
+    }
+
+
+def _init_enc_block(key, cfg: WhisperConfig, dtype) -> Params:
+    d = cfg.d_model
+    ks = jax.random.split(key, 3)
+    return {
+        "ln_attn": init_layer_norm(d, dtype),
+        "attn": _init_attn(ks[0], d, dtype),
+        "ln_ff": init_layer_norm(d, dtype),
+        "fc1": init_linear(ks[1], d, cfg.d_ff, dtype=dtype),
+        "fc2": init_linear(ks[2], cfg.d_ff, d, dtype=dtype),
+    }
+
+
+def _init_dec_block(key, cfg: WhisperConfig, dtype) -> Params:
+    d = cfg.d_model
+    ks = jax.random.split(key, 4)
+    return {
+        "ln_self": init_layer_norm(d, dtype),
+        "self_attn": _init_attn(ks[0], d, dtype),
+        "ln_cross": init_layer_norm(d, dtype),
+        "cross_attn": _init_attn(ks[1], d, dtype),
+        "ln_ff": init_layer_norm(d, dtype),
+        "fc1": init_linear(ks[2], d, cfg.d_ff, dtype=dtype),
+        "fc2": init_linear(ks[3], cfg.d_ff, d, dtype=dtype),
+    }
+
+
+def _sinusoid_positions(length: int, d: int) -> np.ndarray:
+    """Whisper encoder sinusoids: [sin | cos] split halves."""
+    log_timescale = np.log(10000.0) / (d // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(d // 2))
+    ang = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(ang), np.cos(ang)], axis=1).astype(np.float32)
+
+
+def init_whisper_params(key, cfg: WhisperConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 6)
+    enc = [_init_enc_block(k, cfg, dtype)
+           for k in jax.random.split(ks[0], cfg.encoder_layers)]
+    dec = [_init_dec_block(k, cfg, dtype)
+           for k in jax.random.split(ks[1], cfg.decoder_layers)]
+    d = cfg.d_model
+    stack = lambda ts: jax.tree.map(lambda *xs: jnp.stack(xs), *ts)
+    return {
+        "conv1": {
+            "kernel": (jax.random.normal(ks[2], (3, cfg.num_mel_bins, d)) * 0.02
+                       ).astype(dtype),
+            "bias": jnp.zeros((d,), dtype),
+        },
+        "conv2": {
+            "kernel": (jax.random.normal(ks[3], (3, d, d)) * 0.02).astype(dtype),
+            "bias": jnp.zeros((d,), dtype),
+        },
+        "enc_pos": jnp.asarray(
+            _sinusoid_positions(cfg.max_source_positions, d), dtype
+        ),
+        "enc_blocks": stack(enc),
+        "enc_ln": init_layer_norm(d, dtype),
+        "embed": (jax.random.normal(ks[4], (cfg.vocab_size, d)) * 0.02
+                  ).astype(dtype),
+        "dec_pos": (jax.random.normal(ks[5], (cfg.max_target_positions, d))
+                    * 0.01).astype(dtype),
+        "dec_blocks": stack(dec),
+        "dec_ln": init_layer_norm(d, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _heads(y: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, d = y.shape
+    return y.reshape(b, s, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _attention(
+    attn: Params,
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    num_heads: int,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Pre-scaled-q attention (HF Whisper convention: q *= head_dim^-0.5)."""
+    b, s_q, d = x_q.shape
+    scale = (d // num_heads) ** -0.5
+
+    def proj(p, t):
+        y = qdot(p, t)
+        if "bias" in p:
+            y = y + p["bias"].astype(jnp.float32)
+        return _heads(y.astype(t.dtype), num_heads)
+
+    q = proj(attn["q"], x_q) * scale
+    k, v = proj(attn["k"], x_kv), proj(attn["v"], x_kv)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x_q.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s_q, d)
+    return (qdot(attn["o"], out)
+            + attn["o"]["bias"].astype(jnp.float32)).astype(x_q.dtype)
+
+
+def _mlp(blk: Params, h: jnp.ndarray) -> jnp.ndarray:
+    y = jax.nn.gelu(
+        (qdot(blk["fc1"], h) + blk["fc1"]["bias"].astype(jnp.float32)),
+        approximate=False,
+    ).astype(h.dtype)
+    return (qdot(blk["fc2"], y)
+            + blk["fc2"]["bias"].astype(jnp.float32)).astype(h.dtype)
+
+
+def _ln(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    return layer_norm(x, p["weight"], p["bias"], eps)
+
+
+def whisper_encode(
+    params: Params, cfg: WhisperConfig, features: jnp.ndarray
+) -> jnp.ndarray:
+    """Log-mel features [B, num_mel_bins, n_frames] -> encoder states
+    [B, max_source_positions, d_model]."""
+    x = features.transpose(0, 2, 1)  # NHC: [B, T, mel]
+    x = x.astype(params["conv1"]["kernel"].dtype)
+    # explicit (1, 1) padding: torch Conv1d(padding=1) semantics — "SAME"
+    # would split the stride-2 conv's single pad sample differently
+    x = jax.lax.conv_general_dilated(
+        x, params["conv1"]["kernel"], (1,), ((1, 1),),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    ) + params["conv1"]["bias"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = jax.lax.conv_general_dilated(
+        x, params["conv2"]["kernel"], (2,), ((1, 1),),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    ) + params["conv2"]["bias"]
+    x = jax.nn.gelu(x, approximate=False).astype(params["enc_pos"].dtype)
+    x = x + params["enc_pos"][None, : x.shape[1]]
+
+    eps = cfg.layer_norm_eps
+
+    def block_fn(x, blk):
+        h = _ln(blk["ln_attn"], x, eps)
+        x = x + _attention(blk["attn"], h, h, cfg.num_heads)
+        x = x + _mlp(blk, _ln(blk["ln_ff"], x, eps))
+        return x, None
+
+    x, _ = jax.lax.scan(block_fn, x, params["enc_blocks"])
+    return _ln(params["enc_ln"], x, eps)
+
+
+def whisper_decode_logits(
+    params: Params,
+    cfg: WhisperConfig,
+    enc_out: jnp.ndarray,
+    token_ids: jnp.ndarray,
+) -> jnp.ndarray:
+    """Teacher-forced decoder: token_ids [B, T] -> logits [B, T, vocab]."""
+    b, t = token_ids.shape
+    x = params["embed"][token_ids] + params["dec_pos"][None, :t]
+    eps = cfg.layer_norm_eps
+    causal = jnp.where(
+        jnp.tril(jnp.ones((t, t), jnp.bool_)), 0.0, -jnp.inf
+    )[None, None]
+
+    def block_fn(x, blk):
+        h = _ln(blk["ln_self"], x, eps)
+        x = x + _attention(
+            blk["self_attn"], h, h, cfg.num_heads, bias=causal,
+        )
+        x = x + _attention(
+            blk["cross_attn"], _ln(blk["ln_cross"], x, eps),
+            enc_out, cfg.num_heads,
+        )
+        x = x + _mlp(blk, _ln(blk["ln_ff"], x, eps))
+        return x, None
+
+    x, _ = jax.lax.scan(block_fn, x, params["dec_blocks"])
+    x = _ln(params["dec_ln"], x, eps)
+    return jnp.einsum("btd,vd->btv", x.astype(jnp.float32),
+                      params["embed"].astype(jnp.float32))
+
+
+def whisper_greedy_decode(
+    params: Params,
+    cfg: WhisperConfig,
+    features: jnp.ndarray,
+    prompt_ids: jnp.ndarray,
+    max_new_tokens: int = 64,
+) -> jnp.ndarray:
+    """Greedy transcription: features [B, mel, frames] + forced prompt
+    [B, P] (<|startoftranscript|>, language, task, <|notimestamps|>) ->
+    token buffer [B, P + max_new_tokens], eos-padded."""
+    enc_out = whisper_encode(params, cfg, features)
+    b, p = prompt_ids.shape
+    total = min(p + max_new_tokens, cfg.max_target_positions)
+    buf = jnp.full((b, total), cfg.eos_token_id, jnp.int32)
+    buf = buf.at[:, :p].set(prompt_ids.astype(jnp.int32))
+
+    def step(carry, pos):
+        buf, done = carry
+        logits = whisper_decode_logits(params, cfg, enc_out, buf)
+        nxt = jnp.argmax(logits[:, pos - 1], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.eos_token_id, nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return (buf.at[:, pos].set(nxt), done), None
+
+    (buf, _), _ = jax.lax.scan(
+        step, (buf, jnp.zeros((b,), jnp.bool_)), jnp.arange(p, total)
+    )
+    return buf
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-backed ASR wrapper (local dirs only; zero-egress safe)
+# ---------------------------------------------------------------------------
+
+
+class WhisperASR:
+    """Audio file -> text against a local HF-layout Whisper checkout
+    (config.json + *.safetensors + tokenizer files)."""
+
+    def __init__(self, params: Params, cfg: WhisperConfig, tokenizer):
+        self.params, self.cfg, self.tokenizer = params, cfg, tokenizer
+        self.mel_filters = jnp.asarray(mel_filter_bank(
+            cfg.n_fft // 2 + 1, cfg.num_mel_bins, cfg.sampling_rate,
+            cfg.sampling_rate / 2.0,
+        ))
+
+    @staticmethod
+    def from_pretrained(path: str, dtype=jnp.bfloat16) -> "WhisperASR":
+        import json
+        import os
+
+        from transformers import WhisperTokenizer
+
+        from loongx_tpu.utils.convert import (
+            convert_whisper_state, load_safetensors_dir,
+        )
+
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = WhisperConfig.from_hf(json.load(f))
+        params = convert_whisper_state(
+            load_safetensors_dir(path), cfg, dtype=dtype
+        )
+        return WhisperASR(params, cfg, WhisperTokenizer.from_pretrained(path))
+
+    def _prompt_ids(self, language: str, task: str) -> np.ndarray:
+        tok = self.tokenizer.convert_tokens_to_ids
+        ids = [self.cfg.decoder_start_token_id,
+               tok(f"<|{language}|>"), tok(f"<|{task}|>"),
+               tok("<|notimestamps|>")]
+        return np.asarray([ids], np.int32)
+
+    def transcribe(
+        self, audio: np.ndarray, language: str = "zh",
+        task: str = "transcribe", max_new_tokens: int = 64,
+    ) -> str:
+        feats = log_mel_spectrogram(
+            jnp.asarray(prepare_audio(audio, self.cfg)), self.cfg,
+            self.mel_filters,
+        )
+        prompt = jnp.asarray(self._prompt_ids(language, task))
+        out = np.asarray(jax.jit(
+            whisper_greedy_decode, static_argnums=(1, 4)
+        )(self.params, self.cfg, feats, prompt, max_new_tokens))
+        return self.tokenizer.decode(
+            out[0, prompt.shape[1]:], skip_special_tokens=True
+        ).strip()

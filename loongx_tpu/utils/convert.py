@@ -467,3 +467,118 @@ def convert_clip_state(state: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16):
         "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
         "final_ln": _gn(state, "text_model.final_layer_norm", dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# Whisper + Marian (speech-instruction path, reference inference-demo.py)
+# ---------------------------------------------------------------------------
+
+
+def _strip_model_prefix(state):
+    """WhisperForConditionalGeneration/MarianMTModel checkpoints prefix the
+    backbone with "model."; bare WhisperModel/MarianModel ones don't."""
+    if any(k.startswith("model.") for k in state):
+        return {
+            k[len("model."):]: v for k, v in state.items()
+            if k.startswith("model.")
+        }, state
+    return state, state
+
+
+def convert_whisper_state(state, cfg, dtype=jnp.bfloat16):
+    state, _ = _strip_model_prefix(state)
+
+    def attn(p):
+        return {
+            "q": _lin(state, f"{p}.q_proj", dtype),
+            "k": _lin(state, f"{p}.k_proj", dtype, bias=False),
+            "v": _lin(state, f"{p}.v_proj", dtype),
+            "o": _lin(state, f"{p}.out_proj", dtype),
+        }
+
+    def enc_block(i):
+        p = f"encoder.layers.{i}"
+        return {
+            "ln_attn": _gn(state, f"{p}.self_attn_layer_norm", dtype),
+            "attn": attn(f"{p}.self_attn"),
+            "ln_ff": _gn(state, f"{p}.final_layer_norm", dtype),
+            "fc1": _lin(state, f"{p}.fc1", dtype),
+            "fc2": _lin(state, f"{p}.fc2", dtype),
+        }
+
+    def dec_block(i):
+        p = f"decoder.layers.{i}"
+        return {
+            "ln_self": _gn(state, f"{p}.self_attn_layer_norm", dtype),
+            "self_attn": attn(f"{p}.self_attn"),
+            "ln_cross": _gn(state, f"{p}.encoder_attn_layer_norm", dtype),
+            "cross_attn": attn(f"{p}.encoder_attn"),
+            "ln_ff": _gn(state, f"{p}.final_layer_norm", dtype),
+            "fc1": _lin(state, f"{p}.fc1", dtype),
+            "fc2": _lin(state, f"{p}.fc2", dtype),
+        }
+
+    def conv(p):
+        # torch Conv1d [out, in, width] -> HIO [width, in, out]
+        return {
+            "kernel": jnp.asarray(
+                np.transpose(state[f"{p}.weight"], (2, 1, 0)), dtype
+            ),
+            "bias": jnp.asarray(state[f"{p}.bias"], dtype),
+        }
+
+    return {
+        "conv1": conv("encoder.conv1"),
+        "conv2": conv("encoder.conv2"),
+        "enc_pos": jnp.asarray(state["encoder.embed_positions.weight"], dtype),
+        "enc_blocks": _stack([enc_block(i) for i in range(cfg.encoder_layers)]),
+        "enc_ln": _gn(state, "encoder.layer_norm", dtype),
+        "embed": jnp.asarray(state["decoder.embed_tokens.weight"], dtype),
+        "dec_pos": jnp.asarray(state["decoder.embed_positions.weight"], dtype),
+        "dec_blocks": _stack([dec_block(i) for i in range(cfg.decoder_layers)]),
+        "dec_ln": _gn(state, "decoder.layer_norm", dtype),
+    }
+
+
+def convert_marian_state(state, cfg, dtype=jnp.bfloat16):
+    state, full = _strip_model_prefix(state)
+
+    def attn(p):
+        return {
+            "q": _lin(state, f"{p}.q_proj", dtype),
+            "k": _lin(state, f"{p}.k_proj", dtype),
+            "v": _lin(state, f"{p}.v_proj", dtype),
+            "o": _lin(state, f"{p}.out_proj", dtype),
+        }
+
+    def enc_block(i):
+        p = f"encoder.layers.{i}"
+        return {
+            "attn": attn(f"{p}.self_attn"),
+            "ln_attn": _gn(state, f"{p}.self_attn_layer_norm", dtype),
+            "fc1": _lin(state, f"{p}.fc1", dtype),
+            "fc2": _lin(state, f"{p}.fc2", dtype),
+            "ln_ff": _gn(state, f"{p}.final_layer_norm", dtype),
+        }
+
+    def dec_block(i):
+        p = f"decoder.layers.{i}"
+        return {
+            "self_attn": attn(f"{p}.self_attn"),
+            "ln_self": _gn(state, f"{p}.self_attn_layer_norm", dtype),
+            "cross_attn": attn(f"{p}.encoder_attn"),
+            "ln_cross": _gn(state, f"{p}.encoder_attn_layer_norm", dtype),
+            "fc1": _lin(state, f"{p}.fc1", dtype),
+            "fc2": _lin(state, f"{p}.fc2", dtype),
+            "ln_ff": _gn(state, f"{p}.final_layer_norm", dtype),
+        }
+
+    bias = full.get("final_logits_bias", np.zeros((cfg.vocab_size,)))
+    return {
+        "embed": jnp.asarray(state["shared.weight"], dtype),
+        # enc/dec embed_positions are the same deterministic sinusoids
+        "pos": jnp.asarray(state["encoder.embed_positions.weight"], dtype),
+        "enc_blocks": _stack([enc_block(i) for i in range(cfg.encoder_layers)]),
+        "dec_blocks": _stack([dec_block(i) for i in range(cfg.decoder_layers)]),
+        "logits_bias": jnp.asarray(np.reshape(bias, (-1,)), jnp.float32),
+    }
