@@ -215,6 +215,14 @@ def main():
             # one qkv matmul per stream (exact concat of int8 stacks);
             # consume=True keeps peak HBM to one fused stack at a time
             flux_params = fuse_qkv_projections(flux_params, consume=True)
+        if os.environ.get("LOONGX_SPLIT_PROJ", "1") == "1":
+            from loongx_tpu.ops.quant import split_single_proj_out
+
+            # exact K-split of single-block proj_out: kills the per-block
+            # [S, hidden+mlp] concat (75 MB HBM write each)
+            flux_params = split_single_proj_out(
+                flux_params, cfg.hidden, consume=True
+            )
     else:
         flux_params = init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
 

@@ -643,13 +643,26 @@ def _mod_pair(
     return jnp.split(mod[:b], n_chunks, -1), jnp.split(mod[b:], n_chunks, -1)
 
 
-def _seg_affine(x_img, x_cond, a_img, b_img, a_cond, b_cond):
-    """Per-segment affine y = x * a + b applied to the two segments of a
-    fused latent stream; concatenated back (XLA fuses into the consumer)."""
-    y = x_img * a_img[:, None, :] + b_img[:, None, :]
-    if x_cond is None:
-        return y
-    yc = x_cond * a_cond[:, None, :] + b_cond[:, None, :]
+def _seg_affine(x, boundary, a_main, b_main, a_cond, b_cond):
+    """Per-segment affine y = x * a + b over a fused stream split at row
+    ``boundary``.  Two measured-equivalent formulations, chosen by the
+    (static) batch size: at batch 1 the branch-free row select avoids a
+    lingering maximum/bitcast loop XLA emits for the slice form (-1.7
+    ms/fwd at full-dev); at batch > 1 the select's broadcasts cost more
+    than the slices, while the slice+concat form stays on fast fusions
+    (-11.7 ms/edit at batch 4).  Same math either way; jit re-traces per
+    batch shape so the branch is free."""
+    if a_cond is None:
+        return x * a_main[:, None, :] + b_main[:, None, :]
+    if x.shape[0] == 1:
+        rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (x.shape[1], 1), 0) < boundary
+        )
+        a = jnp.where(rows, a_main[:, None, :], a_cond[:, None, :])
+        b = jnp.where(rows, b_main[:, None, :], b_cond[:, None, :])
+        return x * a + b
+    y = x[:, :boundary] * a_main[:, None, :] + b_main[:, None, :]
+    yc = x[:, boundary:] * a_cond[:, None, :] + b_cond[:, None, :]
     return jnp.concatenate([y, yc], axis=1)
 
 
@@ -703,12 +716,7 @@ def _ln_mod_xla(x, ln_mod):
     """XLA composition of the LN + per-segment affine prologue (the
     reference's norm1/norm path, block.py:191-207)."""
     a_m, b_m, a_c, b_c, boundary = ln_mod
-    normed = layer_norm(x)
-    use_cond = a_c is not None
-    return _seg_affine(
-        normed[:, :boundary], normed[:, boundary:] if use_cond else None,
-        a_m, b_m, a_c, b_c,
-    )
+    return _seg_affine(layer_norm(x), boundary, a_m, b_m, a_c, b_c)
 
 
 def _bias3(p: Params) -> jnp.ndarray:
@@ -803,11 +811,7 @@ def gate_res_linear(
         return y.reshape(b, s, n).astype(resid.dtype)
     h = linear(p, x, use_lora, lora_mask, tp_kind="row")
     zero = jnp.zeros_like(g_main)
-    use_cond = g_cond is not None
-    gated = _seg_affine(
-        h[:, :boundary], h[:, boundary:] if use_cond else None,
-        g_main, zero, g_cond, zero,
-    )
+    gated = _seg_affine(h, boundary, g_main, zero, g_cond, zero)
     return resid + gated
 
 
@@ -890,10 +894,7 @@ def double_block_forward(
             tp_kind="row",
         )
         zero = jnp.zeros_like(mi[2])
-        gated_lat = _seg_affine(
-            attn_lat[:, :s_img], attn_lat[:, s_img:],
-            mi[2], zero, mc[2], zero,
-        )
+        gated_lat = _seg_affine(attn_lat, s_img, mi[2], zero, mc[2], zero)
         gated_lat = gated_lat.at[:, :s_img].add(gated_lat[:, s_img:])
         lat = lat + gated_lat
     else:
@@ -982,11 +983,25 @@ def single_block_forward(
     )
     out = _merge_heads(out)
 
-    h = jnp.concatenate([out, mlp_h], axis=-1)
-    full = gate_res_linear(
-        block["proj_out"], h, full, mx[2], mc[2] if use_cond else None,
-        s_x, use_lora=luse, lora_mask=lmask,
-    )
+    g_cond = mc[2] if use_cond else None
+    if "proj_out_mlp" in block:
+        # split proj_out (ops/quant.split_single_proj_out): two K-partial
+        # matmuls accumulated through the gated residual — never builds the
+        # [S, hidden+mlp] concat (y = x_a W[:h] + x_m W[h:] + b exactly)
+        full = gate_res_linear(
+            block["proj_out"], out, full, mx[2], g_cond,
+            s_x, use_lora=luse, lora_mask=lmask,
+        )
+        full = gate_res_linear(
+            block["proj_out_mlp"], mlp_h, full, mx[2], g_cond,
+            s_x, use_lora=luse, lora_mask=lmask,
+        )
+    else:
+        h = jnp.concatenate([out, mlp_h], axis=-1)
+        full = gate_res_linear(
+            block["proj_out"], h, full, mx[2], g_cond,
+            s_x, use_lora=luse, lora_mask=lmask,
+        )
     return full[:, :s_x], full[:, s_x:] if use_cond else None
 
 
@@ -1044,6 +1059,17 @@ def flux_forward(
     flags = flags or {}
     use_cond = cond is not None
     latent_lora = bool(flags.get("latent_lora", False))
+
+    # Canonicalize every float input to the latents' dtype.  The block math
+    # dtype follows temb (= pooled's dtype, combined_timestep_embed) while
+    # the scan carries follow img/txt/cond — a caller mixing dtypes (e.g.
+    # f32 prompt embeddings over bf16 latents) would otherwise promote the
+    # carries mid-scan and fail lax.scan's carry-type check.
+    wdt = img.dtype
+    txt = txt.astype(wdt)
+    pooled = pooled.astype(wdt)
+    if use_cond:
+        cond = cond.astype(wdt)
 
     img_h = linear(params["x_embedder"], img, use_lora=latent_lora)
     cond_h = (

@@ -171,12 +171,19 @@ class LoongXPipeline:
         from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
 
         if dit and "flux" in self.params:
+            from loongx_tpu.ops.quant import split_single_proj_out
+
             self.params["flux"] = quantize_tree(self.params["flux"])
             if fuse_qkv:
                 # consume=True: the transform's peak HBM is one fused stack,
                 # not fused+unfused — matters on the ~14 GiB serving target
                 self.params["flux"] = fuse_qkv_projections(
                     self.params["flux"], consume=True
+                )
+                # exact K-split of single-block proj_out (same serving
+                # restriction as fuse_qkv: not under TP sharding rules)
+                self.params["flux"] = split_single_proj_out(
+                    self.params["flux"], self.flux_cfg.hidden, consume=True
                 )
         if text:
             for name in ("t5", "clip"):

@@ -212,3 +212,52 @@ def fuse_qkv_projections(
         return tree
 
     return walk(flux_params)
+
+
+def split_single_proj_out(
+    flux_params: Params, hidden: int, consume: bool = False
+) -> Params:
+    """Serving-time transform: split the single-block ``proj_out`` stack
+    (input rows [hidden | mlp]) into an attention part (K=hidden, keeps the
+    bias) and an MLP part, so ``single_block_forward`` never materialises
+    the [S, hidden+mlp] concatenated activation.  That concat was measured
+    as a 75 MB HBM write per block at batch 1 and lowers to a pathological
+    pad/maximum loop at batch 4 (benchmarks/batch_trace.py).  Exact:
+    y = x_attn @ W[:hidden] + x_mlp @ W[hidden:] + b — and the two parts
+    get their OWN per-row activation quant scales, which can only help.
+
+    Operates on stacked trees ([NB, K, N] int8 ``kernel_q`` or bf16
+    ``kernel``); skipped when a LoRA delta sits on proj_out (adapters
+    address the fused projection).  consume=True syncs and drops the
+    source stack immediately so transform peak HBM is source + parts once
+    (~+1.8 GB transient at 12B), not permanently.
+    """
+    sgl = flux_params.get("single_blocks")
+    if not isinstance(sgl, dict):
+        return flux_params
+    p = sgl.get("proj_out")
+    if not isinstance(p, dict) or "lora_a" in p or "proj_out_mlp" in sgl:
+        return flux_params
+    wname = "kernel_q" if "kernel_q" in p else "kernel"
+    if wname not in p:
+        return flux_params
+    w = p[wname]
+    if w.ndim != 3 or w.shape[1] <= hidden:  # expect stacked [NB, K, N]
+        return flux_params
+
+    attn_part = {k: v for k, v in p.items() if k != wname}
+    attn_part[wname] = w[:, :hidden]
+    mlp_part = {k: v for k, v in p.items() if k not in (wname, "bias")}
+    mlp_part[wname] = w[:, hidden:]
+    if consume:
+        jax.device_get(jnp.ravel(mlp_part[wname])[0])  # parts materialised
+        del p[wname]
+
+    out_sgl = sgl if consume else dict(sgl)
+    out_sgl["proj_out"] = attn_part
+    out_sgl["proj_out_mlp"] = mlp_part
+    if consume:
+        return flux_params
+    out = dict(flux_params)
+    out["single_blocks"] = out_sgl
+    return out

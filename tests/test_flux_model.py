@@ -119,3 +119,26 @@ class TestFluxForward:
             sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in jax.tree.leaves(g))
         )
         assert jnp.isfinite(gnorm) and gnorm > 0
+
+
+def test_mixed_input_dtypes_stable(tiny_setup):
+    """flux_forward canonicalizes float inputs to the latents' dtype: f32
+    prompt/pooled embeddings over bf16 latents+cond must not promote the
+    block-scan carries mid-scan (regression: lax.scan carry-type failure in
+    quantized generate when user-supplied embeddings were f32)."""
+    cfg, _params, batch = tiny_setup
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x,
+        init_flux_params(jax.random.key(0), cfg, dtype=jnp.bfloat16),
+    )
+    mixed = dict(
+        batch,
+        img=batch["img"].astype(jnp.bfloat16),
+        cond=batch["cond"].astype(jnp.bfloat16),
+        txt=batch["txt"].astype(jnp.float32),
+        pooled=batch["pooled"].astype(jnp.float32),
+    )
+    out = flux_forward(params, cfg, **mixed, attn_backend="xla")
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())

@@ -719,3 +719,57 @@ def test_qkv_stacked_fallback_for_odd_shapes():
     np.testing.assert_allclose(
         np.asarray(v, np.float32), zv, atol=5e-2, rtol=5e-2
     )
+
+
+def test_split_proj_out_matches_fused(monkeypatch):
+    """split_single_proj_out must be exact: the split tiny-flux forward
+    (two K-partial proj_out matmuls through the gated residual, no
+    [S, h+mlp] concat) reproduces the unsplit forward on both the XLA
+    dequant path and the stacked Pallas path, with and without a cond
+    stream."""
+    from loongx_tpu.models.flux.model import (
+        FluxConfig, flux_forward, init_flux_params,
+    )
+    from loongx_tpu.ops.latents import latent_image_ids
+    from loongx_tpu.ops.quant import quantize_tree, split_single_proj_out
+
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    params["double_blocks"] = quantize_tree(params["double_blocks"])
+    params["single_blocks"] = quantize_tree(params["single_blocks"])
+    split = split_single_proj_out(params, cfg.hidden)
+    assert "proj_out_mlp" in split["single_blocks"]
+    assert (
+        split["single_blocks"]["proj_out"]["kernel_q"].shape[1] == cfg.hidden
+    )
+
+    b, s_img, s_txt = 1, 16, 4
+    kwargs = dict(
+        img=jax.random.normal(jax.random.key(1), (b, s_img, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.key(2), (b, s_txt, cfg.joint_dim)),
+        pooled=jax.random.normal(jax.random.key(3), (b, cfg.pooled_dim)),
+        timestep=jnp.full((b,), 0.5),
+        guidance=jnp.full((b,), 3.5),
+        img_ids=latent_image_ids(8, 8),
+        txt_ids=jnp.zeros((s_txt, 3)),
+    )
+    cond_kwargs = dict(
+        kwargs,
+        cond=jax.random.normal(jax.random.key(4), (b, s_img, cfg.in_channels)),
+        cond_ids=latent_image_ids(8, 8),
+    )
+
+    for kw in (kwargs, cond_kwargs):
+        monkeypatch.setenv("LOONGX_STACKED_QMM", "0")
+        ref = flux_forward(params, cfg, **kw)
+        got = flux_forward(split, cfg, **kw)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=1e-5, rtol=1e-5,
+        )
+        monkeypatch.setenv("LOONGX_STACKED_QMM", "1")
+        got_stacked = flux_forward(split, cfg, **kw)
+        np.testing.assert_allclose(
+            np.asarray(got_stacked, np.float32), np.asarray(ref, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
