@@ -3,8 +3,9 @@
 Equivalent of the reference's ``src/gradio/gradio_app.py`` (center-crop to
 512, subject condition, few-step schnell-style schedule).  The reference's
 copy is stale against its own ``generate`` signature (SURVEY §2a row 14);
-this one is wired to the current API.  Requires ``gradio`` (optional dep)
-and a converted checkpoint directory.
+this one is wired to the current API.  Uses ``gradio`` when installed;
+otherwise serves the same editing core through the zero-dependency stdlib
+server in ``cli/web_demo.py``.  Needs a converted checkpoint directory.
 """
 
 from __future__ import annotations
@@ -61,6 +62,19 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--port", type=int, default=7860)
     args = parser.parse_args(argv)
+
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        # same demo, stdlib server (cli/web_demo.py) — no optional deps
+        print("gradio not installed — serving the built-in web UI instead")
+        from loongx_tpu.cli.web_demo import main as web_main
+
+        web_main([
+            "--checkpoint", args.checkpoint,
+            "--steps", str(args.steps), "--port", str(args.port),
+        ])
+        return
 
     from loongx_tpu.models.pipeline import LoongXPipeline
 

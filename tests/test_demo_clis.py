@@ -110,3 +110,66 @@ def test_gradio_process_headless(pipe):
     )
     out = process_image_and_text(pipe, img, " a chair ", num_steps=2, size=16)
     assert out.size == (16, 16)
+
+
+def test_web_demo_http_roundtrip(pipe):
+    """The stdlib web demo serves the full HTTP surface: page, health, and
+    an /edit POST that drives the REAL tiny pipeline through
+    process_image_and_text and returns a PNG."""
+    import base64
+    import io
+    import json
+    import urllib.request
+
+    from PIL import Image
+
+    from loongx_tpu.cli.gradio_app import process_image_and_text
+    from loongx_tpu.cli.web_demo import build_server, serve_forever_in_thread
+
+    def editor(image, text):
+        return process_image_and_text(pipe, image, text, num_steps=2, size=16)
+
+    server = build_server(editor, port=0, num_steps=2)
+    serve_forever_in_thread(server)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+        with urllib.request.urlopen(base + "/", timeout=30) as r:
+            assert b"LoongX-TPU" in r.read()
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(2).integers(0, 255, (24, 16, 3)).astype(
+                np.uint8
+            )
+        ).save(buf, format="PNG")
+        req = urllib.request.Request(
+            base + "/edit",
+            data=json.dumps({
+                "image_b64": base64.b64encode(buf.getvalue()).decode(),
+                "text": "a chair",
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            resp = json.load(r)
+        out = Image.open(io.BytesIO(base64.b64decode(resp["image_b64"])))
+        assert out.size == (16, 16)
+        assert resp["elapsed_s"] >= 0
+
+        # malformed request surfaces a clean 400, not a hung connection
+        bad = urllib.request.Request(
+            base + "/edit", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.load(e)
+    finally:
+        server.shutdown()
+        server.server_close()
