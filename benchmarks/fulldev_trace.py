@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 from loongx_tpu.models.flux.model import FluxConfig, init_flux_params, flux_forward
 from loongx_tpu.ops.latents import latent_image_ids
-from loongx_tpu.ops.quant import fuse_qkv_projections, random_quantized_like
+from loongx_tpu.ops.quant import (
+    fuse_qkv_projections, random_quantized_like, split_single_proj_out,
+)
 from loongx_tpu.utils.device_bench import device_op_times
 
 cfg = FluxConfig.flux_dev()
@@ -27,6 +29,7 @@ params = random_quantized_like(
     ks[0], lambda: init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
 )
 params = fuse_qkv_projections(params, consume=True)
+params = split_single_proj_out(params, cfg.hidden, consume=True)
 
 S_TXT = 512
 size = int(os.environ.get("BENCH_SIZE", "512"))
