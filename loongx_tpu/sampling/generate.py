@@ -237,6 +237,18 @@ def generate(
     # ---- latents ----
     vae_scale = pipeline.vae_cfg.downscale
     lat_h, lat_w = height // vae_scale, width // vae_scale
+    if latents is not None:
+        want = (
+            (lat_h // 2) * (lat_w // 2), pipeline.flux_cfg.in_channels,
+        )
+        if latents.ndim != 3 or latents.shape[1:] != want:
+            raise ValueError(
+                f"latents shape {latents.shape} does not match "
+                f"height={height}, width={width}: expected "
+                f"[batch, {want[0]}, {want[1]}] packed latent tokens "
+                f"((h/{vae_scale}/2)*(w/{vae_scale}/2) tokens)"
+            )
+        latents = latents.astype(pipeline.dtype)
     if latents is None:
         latents = jax.random.normal(
             k_lat,

@@ -236,3 +236,28 @@ class TestNeuralOnlyTokenizerBacked:
             eeg=np.zeros((1, 4, 16), np.float32),
         )
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestLatentsValidation:
+    def test_user_latents_correct_shape(self, pipe):
+        pe, pool = _embeds(pipe)
+        n_tok = (16 // pipe.vae_cfg.downscale // 2) ** 2
+        lat = jnp.zeros((1, n_tok, pipe.flux_cfg.in_channels), jnp.float32)
+        img = generate(
+            pipe, prompt_embeds=pe, pooled_prompt_embeds=pool, latents=lat,
+            height=16, width=16, num_inference_steps=1, attn_backend="xla",
+        )
+        assert img.shape == (1, 16, 16, 3)
+
+    def test_user_latents_wrong_shape_clear_error(self, pipe):
+        """Mis-shaped user latents must fail fast with an actionable message
+        (regression: previously surfaced as an opaque RoPE broadcast error
+        deep inside the denoise scan)."""
+        pe, pool = _embeds(pipe)
+        lat = jnp.zeros((1, 7, pipe.flux_cfg.in_channels), jnp.float32)
+        with pytest.raises(ValueError, match="latents shape .* packed latent"):
+            generate(
+                pipe, prompt_embeds=pe, pooled_prompt_embeds=pool,
+                latents=lat, height=16, width=16, num_inference_steps=1,
+                attn_backend="xla",
+            )
