@@ -71,6 +71,9 @@ def _measure(fn, *args, iters=None):
 
 
 def main():
+    from loongx_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from loongx_tpu.models.flux.model import FluxConfig, init_flux_params
     from loongx_tpu.models.flux.vae import (
         VAEConfig, init_vae_params, vae_decode, vae_encode, scale_latents,

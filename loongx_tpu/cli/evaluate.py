@@ -33,6 +33,10 @@ def main(argv=None):
     parser.add_argument("--image_size", type=int, default=512)
     args = parser.parse_args(argv)
 
+    from loongx_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     instructions = None
     if args.caption_path and os.path.exists(args.caption_path):
         instructions = {}

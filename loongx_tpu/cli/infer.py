@@ -273,6 +273,10 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    from loongx_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from loongx_tpu.models.pipeline import LoongXPipeline
 
     pipeline = LoongXPipeline.from_pretrained(

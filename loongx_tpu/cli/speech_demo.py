@@ -172,6 +172,10 @@ def main(argv=None, *, pipeline=None, transcriber=None):
     parser.add_argument("--steps", type=int, default=28)
     args = parser.parse_args(argv)
 
+    from loongx_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from loongx_tpu.cli.infer import load_brain_data
 
     if pipeline is None:

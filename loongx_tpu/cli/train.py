@@ -19,6 +19,10 @@ def main(argv=None):
     parser.add_argument("--no_wandb", action="store_true")
     args = parser.parse_args(argv)
 
+    from loongx_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from loongx_tpu.config import load_config
     from loongx_tpu.train.loop import train
 

@@ -148,6 +148,10 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=7860)
     args = parser.parse_args(argv)
 
+    from loongx_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
 
     from loongx_tpu.cli.gradio_app import process_image_and_text
