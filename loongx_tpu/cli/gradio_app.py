@@ -77,7 +77,9 @@ def main(argv=None):
         return
 
     from loongx_tpu.models.pipeline import LoongXPipeline
+    from loongx_tpu.utils.compile_cache import enable_compilation_cache
 
+    enable_compilation_cache()
     pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
     build_app(pipeline, args.steps).launch(server_port=args.port)
 

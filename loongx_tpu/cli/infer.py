@@ -279,9 +279,12 @@ def main(argv=None):
 
     from loongx_tpu.models.pipeline import LoongXPipeline
 
-    pipeline = LoongXPipeline.from_pretrained(
-        args.checkpoint, quantize=args.int8
-    )
+    pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
+    if args.int8:
+        # qkv fusion cannot carry LoRA (adapters address q/k/v
+        # individually) — keep it off when adapters follow; the proj_out
+        # split stays on either way (attach routes its factor rows)
+        pipeline.quantize(fuse_qkv=not args.lora)
     for spec in args.lora or []:
         name, path = spec.split("=", 1) if "=" in spec else (None, spec)
         _attach_lora(pipeline, path, name)

@@ -80,7 +80,14 @@ def build_server(editor, port: int = 0, num_steps: int = 8):
     ``gradio_app.process_image_and_text``.  Returns a ThreadingHTTPServer
     (``.server_address[1]`` is the bound port when ``port=0``).
     """
-    from PIL import Image
+    import binascii
+
+    from PIL import Image, UnidentifiedImageError
+
+    # one edit at a time: concurrent denoise loops on one chip would
+    # double-allocate activations (HBM OOM at the 12B point) and race
+    # adapter switching in generate(); gradio queues the same way
+    edit_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -109,14 +116,21 @@ def build_server(editor, port: int = 0, num_steps: int = 8):
             if self.path != "/edit":
                 self._json(404, {"error": "unknown endpoint"})
                 return
-            try:
+            try:  # request parsing: malformed input is the client's fault
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n))
                 img = Image.open(
                     io.BytesIO(base64.b64decode(req["image_b64"]))
                 ).convert("RGB")
+                text = str(req.get("text", ""))
+            except (KeyError, ValueError, TypeError, binascii.Error,
+                    UnidentifiedImageError) as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:  # model execution: failures here are server faults
                 t0 = time.perf_counter()
-                out = editor(img, str(req.get("text", "")))
+                with edit_lock:
+                    out = editor(img, text)
                 elapsed = time.perf_counter() - t0
                 buf = io.BytesIO()
                 out.save(buf, format="PNG")
@@ -124,8 +138,8 @@ def build_server(editor, port: int = 0, num_steps: int = 8):
                     "image_b64": base64.b64encode(buf.getvalue()).decode(),
                     "elapsed_s": elapsed,
                 })
-            except Exception as e:  # surface the error to the client
-                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer(("127.0.0.1", port), Handler)
 

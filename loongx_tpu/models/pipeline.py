@@ -158,7 +158,8 @@ class LoongXPipeline:
         return pipe
 
     def quantize(
-        self, dit: bool = True, text: bool = True, fuse_qkv: bool = True
+        self, dit: bool = True, text: bool = True, fuse_qkv: bool = True,
+        split_proj_out: bool = True,
     ) -> "LoongXPipeline":
         """Int8-quantize weights in place (per-out-channel, ops/quant.py).
 
@@ -167,7 +168,11 @@ class LoongXPipeline:
         off the denoise hot path).  fuse_qkv concatenates each attention's
         q/k/v projections into one matmul (exact; skipped automatically on
         LoRA-carrying projections) — pass False when serving under tensor
-        parallelism, whose sharding rules address the unfused axes."""
+        parallelism (whose sharding rules address the unfused axes) or when
+        a LoRA will be attached afterwards (adapters address q/k/v
+        individually).  split_proj_out K-splits the single-block proj_out
+        (exact; LoRA-COMPATIBLE — later attaches route their factor rows,
+        train/lora.load_lora_state_dict) — pass False only under TP."""
         from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
 
         if dit and "flux" in self.params:
@@ -180,8 +185,7 @@ class LoongXPipeline:
                 self.params["flux"] = fuse_qkv_projections(
                     self.params["flux"], consume=True
                 )
-                # exact K-split of single-block proj_out (same serving
-                # restriction as fuse_qkv: not under TP sharding rules)
+            if split_proj_out:
                 self.params["flux"] = split_single_proj_out(
                     self.params["flux"], self.flux_cfg.hidden, consume=True
                 )

@@ -241,12 +241,17 @@ def generate(
         want = (
             (lat_h // 2) * (lat_w // 2), pipeline.flux_cfg.in_channels,
         )
-        if latents.ndim != 3 or latents.shape[1:] != want:
+        if (
+            latents.ndim != 3
+            or latents.shape[1:] != want
+            or latents.shape[0] != batch
+        ):
             raise ValueError(
                 f"latents shape {latents.shape} does not match "
-                f"height={height}, width={width}: expected "
-                f"[batch, {want[0]}, {want[1]}] packed latent tokens "
-                f"((h/{vae_scale}/2)*(w/{vae_scale}/2) tokens)"
+                f"height={height}, width={width}, batch={batch}: expected "
+                f"[{batch}, {want[0]}, {want[1]}] packed latent tokens "
+                f"((h/{vae_scale}/2)*(w/{vae_scale}/2) tokens, batch from "
+                f"the prompt embeddings)"
             )
         latents = latents.astype(pipeline.dtype)
     if latents is None:

@@ -72,6 +72,16 @@ def add_lora(
             f"({fused[:2]}...): quantize with fuse_qkv=False before adding "
             "LoRA adapters"
         )
+    if any(p.endswith("proj_out_mlp") for p, _ in _walk_linears(params)):
+        # same reason for the serving-time proj_out K-split: the reference
+        # regex targets the FUSED proj_out; r^proj_out$ would silently hit
+        # only the attn part here (loading a trained adapter onto a split
+        # tree is fine — load_lora_state_dict routes the rows)
+        raise ValueError(
+            "param tree has the serving proj_out K-split "
+            "(single_blocks/proj_out_mlp): quantize without "
+            "split_single_proj_out before adding LoRA adapters"
+        )
     params = jax.tree.map(lambda x: x, params)  # shallow-ish copy via rebuild
     patterns = [re.compile(t) for t in targets]
     matched = []
@@ -160,6 +170,45 @@ def lora_state_dict(params: Params) -> Dict[str, jnp.ndarray]:
     return out
 
 
+def _route_split_proj_out(index, state: Dict[str, Any]) -> Dict[str, Any]:
+    """Reconcile LoRA factor layout with the serving-time proj_out K-split
+    (ops/quant.split_single_proj_out divides the fused [hidden+mlp]-row
+    single-block proj_out into K=hidden / K=mlp parts).
+
+    Forward: a factor trained against the fused layout is split by rows
+    onto the two parts — exact, since x_full A B = x_attn A[:h] B +
+    x_mlp A[h:] B and the forward accumulates both gated partials.
+    Reverse: a state saved from a split tree loads into a fused tree by
+    concatenating the rows back (lora_b/lora_scale are identical copies)."""
+    out = dict(state)
+    paths = {k.rsplit("/", 1)[0] for k in state}
+    for path in sorted(paths):
+        if path.endswith("/proj_out") and path in index:
+            mlp = path + "_mlp"
+            a_key = f"{path}/lora_a"
+            if mlp in index and a_key in out:
+                kernel = index[path].get("kernel", index[path].get("kernel_q"))
+                k_rows = kernel.shape[-2]
+                a = jnp.asarray(out[a_key])
+                if a.shape[-2] > k_rows:
+                    out[a_key] = a[..., :k_rows, :]
+                    out[f"{mlp}/lora_a"] = a[..., k_rows:, :]
+                    for leaf in ("lora_b", "lora_scale"):
+                        if f"{path}/{leaf}" in out:
+                            out[f"{mlp}/{leaf}"] = out[f"{path}/{leaf}"]
+        elif path.endswith("/proj_out_mlp") and path not in index:
+            base = path[: -len("_mlp")]
+            a_base, a_mlp = f"{base}/lora_a", f"{path}/lora_a"
+            if base in index and a_base in out and a_mlp in out:
+                out[a_base] = jnp.concatenate(
+                    [jnp.asarray(out[a_base]), jnp.asarray(out[a_mlp])],
+                    axis=-2,
+                )
+                for leaf in ("lora_a", "lora_b", "lora_scale"):
+                    out.pop(f"{path}/{leaf}", None)
+    return out
+
+
 def load_lora_state_dict(
     params: Params, state: Dict[str, Any], strict_shapes: bool = True
 ) -> Params:
@@ -168,6 +217,7 @@ def load_lora_state_dict(
     strict_shapes=False allows replacing factors with a different rank
     (adapter switching across ranks — recompiles once downstream)."""
     index = {path: leaf for path, leaf in _walk_linears(params)}
+    state = _route_split_proj_out(index, state)
     scale_paths, factor_paths = set(), {}
     for key, value in state.items():
         path, leaf_name = key.rsplit("/", 1)
@@ -175,6 +225,19 @@ def load_lora_state_dict(
             raise KeyError(f"no linear at {path!r} in params")
         tgt = index[path]
         value = jnp.asarray(value)
+        if leaf_name == "lora_a":
+            kernel = tgt.get("kernel", tgt.get("kernel_q"))
+            if (
+                kernel is not None
+                and kernel.ndim == value.ndim
+                and kernel.shape[-2] != value.shape[-2]
+            ):
+                raise ValueError(
+                    f"{key}: lora_a input dim {value.shape[-2]} does not "
+                    f"match the kernel's {kernel.shape[-2]} at {path!r} "
+                    f"(kernel {kernel.shape}) — wrong adapter for this "
+                    "model/layout?"
+                )
         if (
             strict_shapes
             and tgt.get(leaf_name) is not None

@@ -208,24 +208,54 @@ def convert_reference_lora(
     for path, by_idx in grouped.items():
         sample = next(iter(by_idx.values()))
         r = sample["A"].shape[0]
-        target = find(params, path)
-        kernel = target.get("kernel", target.get("kernel_q"))
-        *stack, d_in, d_out = kernel.shape
-        if stack:  # scan-stacked block family
-            n_blocks = stack[0]
-            a = np.zeros((n_blocks, d_in, r), np.float32)
-            b = np.zeros((n_blocks, r, d_out), np.float32)
-            for idx, ab in by_idx.items():
-                a[idx] = ab["A"].T
-                b[idx] = ab["B"].T
-            target["lora_scale"] = jnp.full((n_blocks,), scale, jnp.float32)
-        else:
-            ab = by_idx.get(-1) or next(iter(by_idx.values()))
-            a = ab["A"].T
-            b = ab["B"].T
-            target["lora_scale"] = jnp.asarray(scale, jnp.float32)
-        target["lora_a"] = jnp.asarray(a, dtype)
-        target["lora_b"] = jnp.asarray(b, dtype)
+        a_rows = sample["A"].shape[1]
+        targets = [(find(params, path), 0, None)]
+        kernel = targets[0][0].get("kernel", targets[0][0].get("kernel_q"))
+        d_in = kernel.shape[-2]
+        if a_rows != d_in and path.endswith("proj_out"):
+            # serving tree carries the proj_out K-split
+            # (ops/quant.split_single_proj_out): route the fused factor's
+            # rows onto the two parts — exact, the forward accumulates both
+            # gated partial deltas (model.py single_block_forward)
+            try:
+                mlp_target = find(params, path + "_mlp")
+            except KeyError:
+                mlp_target = None
+            mlp_kernel = (
+                (mlp_target or {}).get("kernel")
+                if mlp_target is not None
+                else None
+            )
+            if mlp_target is not None and mlp_kernel is None:
+                mlp_kernel = mlp_target.get("kernel_q")
+            if (
+                mlp_kernel is not None
+                and d_in + mlp_kernel.shape[-2] == a_rows
+            ):
+                targets = [
+                    (targets[0][0], 0, d_in),
+                    (mlp_target, d_in, None),
+                ]
+        for target, row0, row1 in targets:
+            kernel = target.get("kernel", target.get("kernel_q"))
+            *stack, d_in, d_out = kernel.shape
+            if stack:  # scan-stacked block family
+                n_blocks = stack[0]
+                a = np.zeros((n_blocks, d_in, r), np.float32)
+                b = np.zeros((n_blocks, r, d_out), np.float32)
+                for idx, ab in by_idx.items():
+                    a[idx] = ab["A"].T[row0:row1]
+                    b[idx] = ab["B"].T
+                target["lora_scale"] = jnp.full(
+                    (n_blocks,), scale, jnp.float32
+                )
+            else:
+                ab = by_idx.get(-1) or next(iter(by_idx.values()))
+                a = ab["A"].T[row0:row1]
+                b = ab["B"].T
+                target["lora_scale"] = jnp.asarray(scale, jnp.float32)
+            target["lora_a"] = jnp.asarray(a, dtype)
+            target["lora_b"] = jnp.asarray(b, dtype)
     return params
 
 

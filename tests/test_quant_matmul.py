@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from loongx_tpu.ops.quant import quantize_linear
 from loongx_tpu.ops.quant_matmul import quant_matmul, quant_linear_apply
@@ -773,3 +774,90 @@ def test_split_proj_out_matches_fused(monkeypatch):
             np.asarray(got_stacked, np.float32), np.asarray(ref, np.float32),
             atol=5e-2, rtol=5e-2,
         )
+
+
+def test_split_proj_out_lora_routing(monkeypatch):
+    """A LoRA trained against the FUSED single-block proj_out must load onto
+    a split serving tree (ops/quant.split_single_proj_out) with its factor
+    rows routed across the two parts, reproducing the unsplit forward
+    exactly (regression: infer.py --int8 --lora attaches AFTER quantize's
+    split, which used to break shape alignment)."""
+    from loongx_tpu.models.flux.model import (
+        FluxConfig, flux_forward, init_flux_params,
+    )
+    from loongx_tpu.ops.latents import latent_image_ids
+    from loongx_tpu.ops.quant import quantize_tree, split_single_proj_out
+    from loongx_tpu.train.lora import (
+        add_lora, load_lora_state_dict, lora_state_dict,
+    )
+
+    monkeypatch.setenv("LOONGX_STACKED_QMM", "0")
+    cfg = FluxConfig.tiny()
+    base = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    base["double_blocks"] = quantize_tree(base["double_blocks"])
+    base["single_blocks"] = quantize_tree(base["single_blocks"])
+
+    # LoRA against the fused layout, with non-zero B so the delta matters
+    with_lora = add_lora(jax.random.key(1), base, r=2, dtype=jnp.float32)
+    p = with_lora["single_blocks"]["proj_out"]
+    p["lora_b"] = jax.random.normal(jax.random.key(2), p["lora_b"].shape) * 0.1
+    state = lora_state_dict(with_lora)
+    assert any(k.startswith("single_blocks/proj_out/") for k in state)
+
+    b, s_img, s_txt = 1, 16, 4
+    kwargs = dict(
+        img=jax.random.normal(jax.random.key(3), (b, s_img, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.key(4), (b, s_txt, cfg.joint_dim)),
+        pooled=jax.random.normal(jax.random.key(5), (b, cfg.pooled_dim)),
+        timestep=jnp.full((b,), 0.5),
+        guidance=jnp.full((b,), 3.5),
+        img_ids=latent_image_ids(8, 8),
+        txt_ids=jnp.zeros((s_txt, 3)),
+        cond=jax.random.normal(jax.random.key(6), (b, s_img, cfg.in_channels)),
+        cond_ids=latent_image_ids(8, 8),
+        flags={"latent_lora": True},
+    )
+    ref = flux_forward(with_lora, cfg, **kwargs)
+
+    split = split_single_proj_out(base, cfg.hidden)
+    routed = load_lora_state_dict(split, state)
+    sgl = routed["single_blocks"]
+    assert sgl["proj_out"]["lora_a"].shape[-2] == cfg.hidden
+    assert (
+        sgl["proj_out"]["lora_a"].shape[-2]
+        + sgl["proj_out_mlp"]["lora_a"].shape[-2]
+        == p["lora_a"].shape[-2]
+    )
+    got = flux_forward(routed, cfg, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    # round trip back into a fused tree
+    refused = load_lora_state_dict(
+        jax.tree.map(lambda x: x, base), lora_state_dict(routed)
+    )
+    np.testing.assert_allclose(
+        np.asarray(refused["single_blocks"]["proj_out"]["lora_a"]),
+        np.asarray(p["lora_a"]), atol=0, rtol=0,
+    )
+
+    # wrong-layout factor without a split target raises a clear error
+    bad = {"single_blocks/proj_mlp/lora_a": np.zeros(
+        (cfg.num_single_blocks, 7, 2), np.float32)}
+    with pytest.raises(ValueError, match="does not match the kernel"):
+        load_lora_state_dict(jax.tree.map(lambda x: x, base), bad)
+
+
+def test_add_lora_refuses_split_tree():
+    from loongx_tpu.models.flux.model import FluxConfig, init_flux_params
+    from loongx_tpu.ops.quant import quantize_tree, split_single_proj_out
+    from loongx_tpu.train.lora import add_lora
+
+    cfg = FluxConfig.tiny()
+    base = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    base["single_blocks"] = quantize_tree(base["single_blocks"])
+    split = split_single_proj_out(base, cfg.hidden)
+    with pytest.raises(ValueError, match="proj_out_mlp"):
+        add_lora(jax.random.key(1), split, r=2)

@@ -69,3 +69,52 @@ def test_convert_and_forward_effect():
     out1 = flux_forward(lp, cfg, **batch, attn_backend="xla")
     # nonzero B -> LoRA active on the condition stream -> output changes
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_convert_onto_split_proj_out(monkeypatch):
+    """A reference LoRA targeting the fused single-block proj_out converts
+    onto a quantize-time split tree (ops/quant.split_single_proj_out) by
+    routing its rows; the forward matches converting onto the unsplit tree
+    (the infer.py --int8 --lora ordering: quantize/split first, attach
+    after)."""
+    from loongx_tpu.ops.quant import quantize_tree, split_single_proj_out
+
+    monkeypatch.setenv("LOONGX_STACKED_QMM", "0")
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    params["single_blocks"] = quantize_tree(params["single_blocks"])
+    rng = np.random.RandomState(1)
+    h, r = cfg.hidden, 2
+    k_fused = h + cfg.mlp_ratio * h
+    state = {}
+    for i in range(cfg.num_single_blocks):
+        state[
+            f"transformer.single_transformer_blocks.{i}.proj_out.lora_A.weight"
+        ] = rng.randn(r, k_fused).astype(np.float32) * 0.1
+        state[
+            f"transformer.single_transformer_blocks.{i}.proj_out.lora_B.weight"
+        ] = rng.randn(h, r).astype(np.float32) * 0.1
+
+    ref_tree = convert_reference_lora(state, params, cfg, dtype=jnp.float32)
+    split = split_single_proj_out(params, cfg.hidden)
+    split_tree = convert_reference_lora(state, split, cfg, dtype=jnp.float32)
+    sgl = split_tree["single_blocks"]
+    assert sgl["proj_out"]["lora_a"].shape == (cfg.num_single_blocks, h, r)
+    assert sgl["proj_out_mlp"]["lora_a"].shape == (
+        cfg.num_single_blocks, cfg.mlp_ratio * h, r)
+
+    batch = dict(
+        img=jnp.ones((1, 4, cfg.in_channels)),
+        txt=jnp.ones((1, 2, cfg.joint_dim)),
+        pooled=jnp.ones((1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        guidance=jnp.array([3.5]),
+        img_ids=latent_image_ids(4, 4),
+        txt_ids=jnp.zeros((2, 3)),
+        flags={"latent_lora": True},
+    )
+    ref = flux_forward(ref_tree, cfg, **batch, attn_backend="xla")
+    got = flux_forward(split_tree, cfg, **batch, attn_backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5,
+    )
