@@ -72,6 +72,9 @@ MAX_BLOCK_Q = 1280
 MAX_BLOCK_K = 2560
 # backward tiles hold two [bq, bk] fp32 temporaries (p and dp) -> smaller cap
 MAX_BLOCK_BWD = 896
+# full-row-kv cap: the [512, S] fp32 scores tile must fit VMEM alongside
+# the cached quantized K ([S, 128] int8) — 36 MB covers S up to ~17.6k
+FULLROW_SCORES_BYTES = 36 * 1024 * 1024
 
 
 def _auto_blocks(seq_len: int, cap: int) -> Tuple[int, int]:
@@ -99,15 +102,23 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
         return s128, s128
     if s128 % MAX_BLOCK_K == 0:
         return MAX_BLOCK_Q, MAX_BLOCK_K
-    # non-multiple long sequences: narrow-q x wide-kv tiles keep the MXU fed
-    # with fewer online-softmax passes — measured 126 vs 117 TF/s over
-    # square 1280 tiles at S=8704 (the 1024px point; benchmarks/ sweep)
+    # long sequences: FULL-ROW kv tiles — one exact softmax pass per q tile
+    # (no online rescale), and the int8-QK scratch cache quantizes K once
+    # per (b, h).  Measured 144.9 vs 138.0 TF/s over the previous 512x4352
+    # online-softmax tiles at S=8704 (the 1024px point; wider 1024-row q
+    # tiles are invalid there — 1024 does not divide 8704).
+    if 512 * s128 * 4 <= FULLROW_SCORES_BYTES:
+        for bq in (512, 384, 256, LANES):
+            if s128 % bq == 0:  # the grid needs block_q | padded length
+                return bq, s128
+    # scores tile too big for full-row: narrow-q x wide-kv online softmax
+    # (measured 126 vs 117 TF/s over square 1280 tiles at S=8704)
     long_bk = 4352  # 512x4352 fp32 scores tile = 8.9 MB VMEM
     ntiles = -(-s128 // long_bk)
     bk = _round_up(-(-s128 // ntiles), LANES)
     s_pad = _round_up(s128, bk)
     for bq in (512, 384, 256, LANES):
-        if s_pad % bq == 0:  # the grid needs block_q | padded length
+        if s_pad % bq == 0:
             return bq, bk
     return bk, bk
 
@@ -343,6 +354,12 @@ def _flash_fwd(
             sin = jnp.pad(sin, [(0, s_pad - s), (0, 0)])
     num_q = s_pad // block_q
     num_kv = s_pad // block_k
+    if num_q * block_q != s_pad or num_kv * block_k != s_pad:
+        # a non-dividing block size would silently drop the tail tiles
+        raise ValueError(
+            f"block_q={block_q}, block_k={block_k} must both divide the "
+            f"padded sequence length {s_pad} (S={s})"
+        )
     # Multi-tile grids quantize via scratch caches (each q tile once per kv
     # sweep, each k tile once per grid) — round 2 re-quantized per step and
     # had to auto-disable int8 scores off the single-(S,S)-tile policy
@@ -658,6 +675,11 @@ def _flash_bwd_pallas(
             sin = jnp.pad(sin, [(0, s_pad - s), (0, 0)])
     num_q = s_pad // block_q
     num_kv = s_pad // block_k
+    if num_q * block_q != s_pad or num_kv * block_k != s_pad:
+        raise ValueError(
+            f"block_q={block_q}, block_k={block_k} must both divide the "
+            f"padded sequence length {s_pad} (S={s})"
+        )
     if bshd:
         # view as [B, S, H*D]; BlockSpecs slice head strips (see _flash_fwd)
         q, k, v, do = (x.reshape(b, s_pad, h * d) for x in (q, k, v, do))

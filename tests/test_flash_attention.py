@@ -150,12 +150,14 @@ def test_auto_blocks_long_seq_divisibility():
     (num_q truncation would silently drop query rows otherwise)."""
     from loongx_tpu.ops.flash_attention import auto_blocks, _round_up
 
+    from loongx_tpu.ops.flash_attention import FULLROW_SCORES_BYTES
+
     for s in (2688, 2816, 4096, 5121, 8704, 9000, 16384, 33280):
         bq, bk = auto_blocks(s)
         s_pad = _round_up(_round_up(s, 128), max(bq, bk))
         assert s_pad % bq == 0 and s_pad % bk == 0, (s, bq, bk, s_pad)
-        # scores tile stays within the VMEM budget
-        assert bq * bk * 4 <= 14 * 2**20, (s, bq, bk)
+        # scores tile stays within the (full-row) VMEM budget
+        assert bq * bk * 4 <= FULLROW_SCORES_BYTES, (s, bq, bk)
 
 
 def test_flash_long_seq_matches_xla():
@@ -439,3 +441,18 @@ def test_int8_qk_stays_active_on_multi_tile(monkeypatch):
     e, g = np.asarray(exact, np.float32), np.asarray(got, np.float32)
     rms = np.sqrt(np.mean((g - e) ** 2)) / np.sqrt(np.mean(e ** 2))
     assert 0 < rms < 0.03, rms
+
+
+def test_non_dividing_blocks_raise():
+    """Explicit block sizes that don't divide the padded length must raise
+    instead of silently dropping tail tiles (num_q floor truncation)."""
+    import pytest
+
+    from loongx_tpu.ops.flash_attention import flash_attention
+
+    q = jnp.ones((1, 2, 1024, 128), jnp.bfloat16)
+    with pytest.raises(ValueError, match="must both divide"):
+        flash_attention(
+            q, q, q, cond_start=512, mode="union",
+            block_q=768, block_k=1024, interpret=True,
+        )
