@@ -235,7 +235,11 @@ class LoongXPipeline:
         replace the text embeddings anyway (reference inference.py:115), so
         zero text embeds are safe there — but silently zeroing them in
         fuse mode would destroy text conditioning."""
-        if isinstance(prompts, str):
+        if prompts is None:
+            # deployed neural-only mode passes no prompt (brain embeds
+            # replace text); one empty prompt keeps batch semantics intact
+            prompts = [""]
+        elif isinstance(prompts, str):
             prompts = [prompts]
         if self.t5_tokenizer is None or self.clip_tokenizer is None:
             if not neural_only:

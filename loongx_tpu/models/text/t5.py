@@ -107,13 +107,31 @@ def t5_encode(
     cfg: T5Config,
     input_ids: jnp.ndarray,
     attention_mask: jnp.ndarray | None = None,
+    stacked_kernels: bool | None = None,
 ) -> jnp.ndarray:
-    """input_ids [B, S] -> embeddings [B, S, d_model]."""
+    """input_ids [B, S] -> embeddings [B, S, d_model].
+
+    When the blocks are int8-quantized (``quantize_tree``), the scan runs
+    the scalar-prefetch stacked Pallas quant matmuls (ops/quant_matmul.py)
+    instead of per-iteration XLA dequant dots: the XLA path reads the int8
+    slice, writes a transient bf16 weight copy, and reads it back —
+    ~3x the weight HBM traffic of the in-kernel tile dequant.  Weight-only
+    mode (bf16 MXU, fp32 accum): activations stay un-quantized, so the
+    result differs from the XLA path only by the bf16 rounding of the
+    dequantised weight.  ``stacked_kernels`` forces the choice (None =
+    auto: stacked iff quantized)."""
     b, s = input_ids.shape
     x = params["embed"][input_ids]
     bias = t5_rel_pos_bias(params, cfg, s)
     if attention_mask is not None:
         bias = bias + jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+
+    blocks = params["blocks"]
+    quantized = "kernel_q" in blocks["q"]
+    if stacked_kernels is None:
+        stacked_kernels = quantized
+    if stacked_kernels and quantized:
+        return _t5_encode_stacked(params, cfg, x, bias, b, s)
 
     def block_fn(x, blk):
         # Self attention (pre-norm, no score scaling — T5 convention).
@@ -145,4 +163,53 @@ def t5_encode(
         return x + ff, None
 
     x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+    return rms_norm(x, params["final_ln"]["weight"], cfg.layer_norm_eps)
+
+
+def _t5_encode_stacked(
+    params: Params, cfg: T5Config, x: jnp.ndarray, bias: jnp.ndarray,
+    b: int, s: int,
+) -> jnp.ndarray:
+    """Serving path over int8 blocks: scan over the LAYER INDEX with the
+    full [NB, K, N] weight stacks as scalar-prefetch kernel operands (the
+    DiT's scan pattern, models/flux/model.py) — no per-iteration weight
+    slice copies, int8-only weight HBM reads."""
+    from loongx_tpu.ops.quant_matmul import quant_matmul_stacked
+
+    blocks = params["blocks"]
+    eps = cfg.layer_norm_eps
+
+    def mm(name: str, t: jnp.ndarray, blk_idx, activation=None) -> jnp.ndarray:
+        p = blocks[name]
+        y = quant_matmul_stacked(
+            t.reshape(b * s, t.shape[-1]), p["kernel_q"], p["kernel_scale"],
+            blk_idx, activation=activation, w8a8=False,
+        )
+        return y.reshape(b, s, -1)
+
+    def block_fn(x, blk_idx):
+        h = rms_norm(x, blocks["ln_attn"]["weight"][blk_idx], eps)
+
+        def heads(t: jnp.ndarray) -> jnp.ndarray:
+            return t.reshape(b, s, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
+
+        q, k, v = (heads(mm(nm, h, blk_idx)) for nm in ("q", "k", "v"))
+        logits = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            + bias
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        attn = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
+        x = x + mm("o", attn, blk_idx).astype(x.dtype)
+
+        h = rms_norm(x, blocks["ln_ff"]["weight"][blk_idx], eps)
+        gelu = mm("wi_0", h, blk_idx, activation="gelu_tanh")
+        lin = mm("wi_1", h, blk_idx)
+        ff = mm("wo", (gelu * lin).astype(x.dtype), blk_idx)
+        return x + ff.astype(x.dtype), None
+
+    x, _ = jax.lax.scan(block_fn, x, jnp.arange(cfg.num_layers))
     return rms_norm(x, params["final_ln"]["weight"], cfg.layer_norm_eps)

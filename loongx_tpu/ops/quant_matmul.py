@@ -529,10 +529,14 @@ def _stacked_blocks(k: int, n: int):
         block_n = 3072
     elif n % 1536 == 0:
         block_n = 1536  # TP-local shards of the 3072-wide FLUX linears
+    elif n % 2048 == 0:
+        block_n = 2048  # power-of-two widths (T5/CLIP/Whisper linears)
     else:
         block_n = 2048 if wide_n else 1024
     if k % 3072 == 0:
         return block_n, 3072
+    if k % 2048 == 0:
+        return block_n, 2048  # K=4096/10240 text-encoder linears
     return block_n, (1024 if wide_n else 1536)
 
 

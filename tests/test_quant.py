@@ -88,6 +88,29 @@ def test_quantized_text_encoders_close():
     assert rel < 0.05, rel
 
 
+def test_t5_stacked_serving_matches_qdot_path():
+    """Quantized T5's stacked Pallas scan (the serving default) agrees with
+    the per-slice XLA dequant path: same int8 weights, the only deltas are
+    the kernel's bf16 operand cast and the fp32 epilogue gelu."""
+    import numpy as np
+
+    from loongx_tpu.models.text.t5 import T5Config, init_t5_params, t5_encode
+    from loongx_tpu.ops.quant import quantize_tree
+
+    cfg = T5Config.tiny()
+    qparams = quantize_tree(init_t5_params(jax.random.key(0), cfg, jnp.float32))
+    ids = jax.random.randint(jax.random.key(1), (2, 12), 0, cfg.vocab_size)
+    mask = (ids % 7 != 0).astype(jnp.int32)
+    stacked = np.asarray(
+        t5_encode(qparams, cfg, ids, mask, stacked_kernels=True)
+    )
+    xla = np.asarray(
+        t5_encode(qparams, cfg, ids, mask, stacked_kernels=False)
+    )
+    rel = np.linalg.norm(stacked - xla) / (np.linalg.norm(xla) + 1e-9)
+    assert rel < 2e-2, rel
+
+
 def test_pipeline_quantize_and_free_text_encoders():
     from loongx_tpu.models.pipeline import LoongXPipeline
 
