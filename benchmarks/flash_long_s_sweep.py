@@ -1,9 +1,9 @@
-"""Long-S (1024 px point, S=8704) flash forward tile sweep, int8-QK serving
-mode — justifies the full-row-kv auto_blocks policy.
+"""Long-S flash forward tile sweep, int8-QK serving mode — justifies the
+full-row-kv auto_blocks policy.
 
 Valid tiles must divide S (the kernel raises otherwise — a non-dividing
 block_q used to silently truncate the q grid, making its timing look
-fast).  Measured (v5e, rel-band ±2%):
+fast).  Measured at S=8704, the 1024 px point (v5e, rel-band ±2%):
 
   (512, 4352) online-softmax (old policy): 138.0 TF/s
   (512, 8704) FULL-ROW kv    (new policy): 144.9 TF/s   <- auto_blocks
@@ -11,7 +11,13 @@ fast).  Measured (v5e, rel-band ±2%):
   (2176, 8704):                            127.2 TF/s
   (4352, 4352):                            120.5 TF/s
 
+``SWEEP_S`` picks the operating point: 8704 (1024 px, default) or 5120
+(768 px: 512 txt + 2304 img + 2304 cond) — the 5120 case checks whether
+the s % MAX_BLOCK_K == 0 early-exit in auto_blocks (square 2560 tiles)
+should instead prefer full-row kv there too.
+
 Run:  python -m benchmarks.flash_long_s_sweep
+      SWEEP_S=5120 python -m benchmarks.flash_long_s_sweep
 """
 import os
 
@@ -23,27 +29,34 @@ from loongx_tpu.ops.flash_attention import auto_blocks, flash_attention
 from loongx_tpu.ops.rope import rope_embed
 from loongx_tpu.utils.device_bench import device_op_times
 
-B, H, S, D = 1, 24, 8704, 128  # 512 txt + 4096 img + 4096 cond
+S = int(os.environ.get("SWEEP_S", "8704"))
+B, H, D = 1, 24, 128
+n_img = (S - 512) // 2          # [txt=512 | img | cond] unified stream
+side = int(round(n_img ** 0.5))
+TILES = {
+    8704: ((512, 4352), (512, 8704), (256, 8704), (2176, 8704),
+           (4352, 4352)),
+    5120: ((2560, 2560), (1280, 2560), (512, 5120), (1024, 5120),
+           (2560, 5120)),
+}[S]
+
 ks = jax.random.split(jax.random.key(0), 3)
 q = jax.random.normal(ks[0], (B, S, H, D), jnp.bfloat16)
 k = jax.random.normal(ks[1], (B, S, H, D), jnp.bfloat16)
 v = jax.random.normal(ks[2], (B, S, H, D), jnp.bfloat16)
-ids = jnp.concatenate(
-    [jnp.zeros((512, 3)),
-     jnp.stack([jnp.zeros(4096), jnp.arange(4096.0) // 64,
-                jnp.arange(4096.0) % 64], 1),
-     jnp.stack([jnp.zeros(4096), jnp.arange(4096.0) // 64,
-                jnp.arange(4096.0) % 64], 1)]
+img_ids = jnp.stack(
+    [jnp.zeros(n_img), jnp.arange(float(n_img)) // side,
+     jnp.arange(float(n_img)) % side], 1
 )
+ids = jnp.concatenate([jnp.zeros((512, 3)), img_ids, img_ids])
 rope = rope_embed(ids)
 FLOPS = 4 * B * H * S * S * D / 1e12
 
-print("auto_blocks(8704) ->", auto_blocks(S))
-for bq, bk in ((512, 4352), (512, 8704), (256, 8704), (2176, 8704),
-               (4352, 4352)):
+print(f"auto_blocks({S}) ->", auto_blocks(S))
+for bq, bk in TILES:
     try:
         fn = jax.jit(lambda a, b, c, bq=bq, bk=bk: flash_attention(
-            a, b, c, cond_start=4608, mode="union", rope=rope,
+            a, b, c, cond_start=512 + n_img, mode="union", rope=rope,
             block_q=bq, block_k=bk, layout="bshd",
         ))
         ops = device_op_times(lambda: fn(q, k, v), n=3, warmup=1)

@@ -118,8 +118,10 @@ def t5_encode(
     ~3x the weight HBM traffic of the in-kernel tile dequant.  Weight-only
     mode (bf16 MXU, fp32 accum): activations stay un-quantized, so the
     result differs from the XLA path only by the bf16 rounding of the
-    dequantised weight.  ``stacked_kernels`` forces the choice (None =
-    auto: stacked iff quantized)."""
+    dequantised weight.  ``stacked_kernels``: None = auto (stacked iff
+    fully quantized AND on TPU — interpret-mode Pallas at XXL scale would
+    hang a CPU/GPU encode); True forces the stacked path (raises unless
+    every block linear is quantized); False forces the XLA path."""
     b, s = input_ids.shape
     x = params["embed"][input_ids]
     bias = t5_rel_pos_bias(params, cfg, s)
@@ -127,43 +129,67 @@ def t5_encode(
         bias = bias + jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
 
     blocks = params["blocks"]
-    quantized = "kernel_q" in blocks["q"]
+    n_quant = sum("kernel_q" in blocks[nm] for nm in _BLOCK_LINEARS)
+    quantized = n_quant == len(_BLOCK_LINEARS)
     if stacked_kernels is None:
-        stacked_kernels = quantized
-    if stacked_kernels and quantized:
+        stacked_kernels = quantized and jax.default_backend() == "tpu"
+    elif stacked_kernels and not quantized:
+        raise ValueError(
+            "stacked_kernels=True requires a fully int8-quantized T5 "
+            f"(quantize_tree): {n_quant}/{len(_BLOCK_LINEARS)} block "
+            "linears carry int8 weights"
+        )
+    if stacked_kernels:
         return _t5_encode_stacked(params, cfg, x, bias, b, s)
 
     def block_fn(x, blk):
-        # Self attention (pre-norm, no score scaling — T5 convention).
-        h = rms_norm(x, blk["ln_attn"]["weight"], cfg.layer_norm_eps)
+        def mm(name, t, activation=None):
+            y = qdot(blk[name], t)  # int8-weight aware (quantized serving)
+            if activation == "gelu_tanh":
+                y = jax.nn.gelu(y, approximate=True)
+            return y
 
-        def proj(p, t):
-            y = qdot(p, t)  # int8-weight aware (serving from a quantized T5)
-            return y.astype(t.dtype).reshape(b, s, cfg.num_heads, cfg.d_kv).transpose(
-                0, 2, 1, 3
-            )
-
-        q, k, v = proj(blk["q"], h), proj(blk["k"], h), proj(blk["v"], h)
-        logits = (
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            + bias
+        y = _t5_block(
+            cfg, bias, b, s, x,
+            blk["ln_attn"]["weight"], blk["ln_ff"]["weight"], mm,
         )
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        attn = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
-        x = x + qdot(blk["o"], attn).astype(x.dtype)
-
-        # Gated-GELU FF.
-        h = rms_norm(x, blk["ln_ff"]["weight"], cfg.layer_norm_eps)
-        gelu = jax.nn.gelu(qdot(blk["wi_0"], h), approximate=True)
-        lin = qdot(blk["wi_1"], h)
-        ff = qdot(blk["wo"], (gelu * lin).astype(x.dtype)).astype(x.dtype)
-        return x + ff, None
+        return y, None
 
     x, _ = jax.lax.scan(block_fn, x, params["blocks"])
     return rms_norm(x, params["final_ln"]["weight"], cfg.layer_norm_eps)
+
+
+_BLOCK_LINEARS = ("q", "k", "v", "o", "wi_0", "wi_1", "wo")
+
+
+def _t5_block(cfg, bias, b, s, x, ln_attn_w, ln_ff_w, mm):
+    """One T5 block (pre-norm self-attention, no score scaling, gated-GELU
+    FF) — shared by both encode paths; ``mm(name, t, activation)`` is the
+    only path-specific piece (how the linear is issued)."""
+    h = rms_norm(x, ln_attn_w, cfg.layer_norm_eps)
+
+    def heads(t):
+        return t.astype(x.dtype).reshape(
+            b, s, cfg.num_heads, cfg.d_kv
+        ).transpose(0, 2, 1, 3)
+
+    q, k, v = (heads(mm(nm, h)) for nm in ("q", "k", "v"))
+    logits = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        + bias
+    )
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    attn = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    x = x + mm("o", attn).astype(x.dtype)
+
+    h = rms_norm(x, ln_ff_w, cfg.layer_norm_eps)
+    gelu = mm("wi_0", h, activation="gelu_tanh")
+    lin = mm("wi_1", h)
+    ff = mm("wo", (gelu * lin).astype(x.dtype)).astype(x.dtype)
+    return x + ff
 
 
 def _t5_encode_stacked(
@@ -177,39 +203,22 @@ def _t5_encode_stacked(
     from loongx_tpu.ops.quant_matmul import quant_matmul_stacked
 
     blocks = params["blocks"]
-    eps = cfg.layer_norm_eps
-
-    def mm(name: str, t: jnp.ndarray, blk_idx, activation=None) -> jnp.ndarray:
-        p = blocks[name]
-        y = quant_matmul_stacked(
-            t.reshape(b * s, t.shape[-1]), p["kernel_q"], p["kernel_scale"],
-            blk_idx, activation=activation, w8a8=False,
-        )
-        return y.reshape(b, s, -1)
 
     def block_fn(x, blk_idx):
-        h = rms_norm(x, blocks["ln_attn"]["weight"][blk_idx], eps)
+        def mm(name, t, activation=None):
+            p = blocks[name]
+            y = quant_matmul_stacked(
+                t.reshape(b * s, t.shape[-1]), p["kernel_q"],
+                p["kernel_scale"], blk_idx, activation=activation, w8a8=False,
+            )
+            return y.reshape(b, s, -1)
 
-        def heads(t: jnp.ndarray) -> jnp.ndarray:
-            return t.reshape(b, s, cfg.num_heads, cfg.d_kv).transpose(0, 2, 1, 3)
-
-        q, k, v = (heads(mm(nm, h, blk_idx)) for nm in ("q", "k", "v"))
-        logits = (
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            + bias
+        y = _t5_block(
+            cfg, bias, b, s, x,
+            blocks["ln_attn"]["weight"][blk_idx],
+            blocks["ln_ff"]["weight"][blk_idx], mm,
         )
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        attn = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, -1)
-        x = x + mm("o", attn, blk_idx).astype(x.dtype)
-
-        h = rms_norm(x, blocks["ln_ff"]["weight"][blk_idx], eps)
-        gelu = mm("wi_0", h, blk_idx, activation="gelu_tanh")
-        lin = mm("wi_1", h, blk_idx)
-        ff = mm("wo", (gelu * lin).astype(x.dtype), blk_idx)
-        return x + ff.astype(x.dtype), None
+        return y, None
 
     x, _ = jax.lax.scan(block_fn, x, jnp.arange(cfg.num_layers))
     return rms_norm(x, params["final_ln"]["weight"], cfg.layer_norm_eps)

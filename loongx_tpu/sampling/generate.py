@@ -234,6 +234,25 @@ def generate(
                     "or load text tokenizers."
                 )
 
+        # replacement can widen the batch (prompt=None encodes ONE empty
+        # prompt; the brain signals carry the real batch) — broadcast any
+        # remaining singleton embed instead of denoising at the wrong batch
+        b_p = prompt_embeds.shape[0]
+        b_pool = pooled_prompt_embeds.shape[0]
+        batch = max(b_p, b_pool)
+        if b_p != batch or b_pool != batch:
+            if 1 not in (b_p, b_pool):
+                raise ValueError(
+                    f"prompt embeds batch {b_p} vs pooled embeds batch "
+                    f"{b_pool}: brain signals must share one batch size"
+                )
+            prompt_embeds = jnp.broadcast_to(
+                prompt_embeds, (batch,) + prompt_embeds.shape[1:]
+            )
+            pooled_prompt_embeds = jnp.broadcast_to(
+                pooled_prompt_embeds, (batch,) + pooled_prompt_embeds.shape[1:]
+            )
+
     # ---- latents ----
     vae_scale = pipeline.vae_cfg.downscale
     lat_h, lat_w = height // vae_scale, width // vae_scale

@@ -197,6 +197,36 @@ class TestPartialBrainReplacement:
             )
 
 
+    def test_brain_batch_widens_singleton_text_embeds(self, monkeypatch):
+        """prompt=None encodes ONE empty prompt; a batched brain signal in
+        replacement mode must widen the batch (broadcasting the remaining
+        singleton text-derived embeds), not crash in the denoise scan."""
+        import importlib
+
+        from loongx_tpu.sampling import generate as gen_fn
+        gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+
+        pipe = self._pipe()
+        bp = jnp.ones((3, 8, pipe.flux_cfg.joint_dim), jnp.float32) * 0.3
+        monkeypatch.setattr(
+            gen_mod, "encode_brain_conditions", lambda *a, **k: (bp, None)
+        )
+        pipe.params["encoders"] = {}
+        out = gen_fn(
+            pipe,
+            prompt_embeds=jnp.zeros((1, 8, pipe.flux_cfg.joint_dim)),
+            pooled_prompt_embeds=jnp.full(
+                (1, pipe.flux_cfg.pooled_dim), 0.7, jnp.float32
+            ),
+            use_brain_condition=True, fuse_flag=False,
+            height=16, width=16, num_inference_steps=1, seed=0,
+            attn_backend="xla", output_type="latent",
+            eeg=np.zeros((3, 4, 16), np.float32),
+        )
+        assert np.asarray(out).shape[0] == 3
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestNeuralOnlyTokenizerBacked:
     def test_neural_only_with_tokenizers_and_missing_slot_runs(self, monkeypatch):
         """With tokenizers loaded, real text embeds back a missing brain slot
