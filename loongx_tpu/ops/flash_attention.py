@@ -72,9 +72,13 @@ MAX_BLOCK_Q = 1280
 MAX_BLOCK_K = 2560
 # backward tiles hold two [bq, bk] fp32 temporaries (p and dp) -> smaller cap
 MAX_BLOCK_BWD = 896
-# full-row-kv cap: the [512, S] fp32 scores tile must fit VMEM alongside
-# the cached quantized K ([S, 128] int8) — 36 MB covers S up to ~17.6k
-FULLROW_SCORES_BYTES = 36 * 1024 * 1024
+# full-row-kv cap on the [512, S] fp32 scores tile.  The kernel's true
+# working set is ~2.5-3x this tile (fp32 exp(p), its bf16 cast, the
+# double-buffered full-row bf16 K/V strips, fp32 rope tiles, the cached
+# int8 K) — 24 MB scores (S up to 12288) keeps the total under the 100 MB
+# Mosaic budget with margin; measured good at S=8704 (the 1024 px point).
+# Longer sequences take the narrow-q online-softmax tiling instead.
+FULLROW_SCORES_BYTES = 24 * 1024 * 1024
 
 
 def _auto_blocks(seq_len: int, cap: int) -> Tuple[int, int]:
@@ -108,7 +112,10 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
     # online-softmax tiles at S=8704 (the 1024px point; wider 1024-row q
     # tiles are invalid there — 1024 does not divide 8704).
     if 512 * s128 * 4 <= FULLROW_SCORES_BYTES:
-        for bq in (512, 384, 256, LANES):
+        # 128-row q tiles would shrink the MXU M-dim 4x below anything
+        # measured — lengths divisible by none of these fall through to
+        # the (measured) online-softmax tiling instead
+        for bq in (512, 384, 256):
             if s128 % bq == 0:  # the grid needs block_q | padded length
                 return bq, s128
     # scores tile too big for full-row: narrow-q x wide-kv online softmax
@@ -121,6 +128,22 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
         if s_pad % bq == 0:
             return bq, bk
     return bk, bk
+
+
+def _check_grid_coverage(block_q: int, block_k: int, s: int, s_pad: int):
+    """Floor-truncated grids may skip PADDING rows (benign — the backward
+    mixes its smaller block cap with the forward's, e.g. (512, 896) over
+    s_pad=8960 covers exactly the 8704 real rows) but must never skip REAL
+    rows: a non-dividing block size that drops real rows silently zeroes
+    their outputs (and once made a tile-sweep timing look fast)."""
+    q_cover = (s_pad // block_q) * block_q
+    kv_cover = (s_pad // block_k) * block_k
+    if q_cover < s or kv_cover < s:
+        raise ValueError(
+            f"block_q={block_q}, block_k={block_k} grids cover only "
+            f"{q_cover}/{kv_cover} rows of S={s} (padded {s_pad}) — real "
+            f"rows would be dropped"
+        )
 
 
 def _pair_swap_matrix(d: int) -> jnp.ndarray:
@@ -354,12 +377,7 @@ def _flash_fwd(
             sin = jnp.pad(sin, [(0, s_pad - s), (0, 0)])
     num_q = s_pad // block_q
     num_kv = s_pad // block_k
-    if num_q * block_q != s_pad or num_kv * block_k != s_pad:
-        # a non-dividing block size would silently drop the tail tiles
-        raise ValueError(
-            f"block_q={block_q}, block_k={block_k} must both divide the "
-            f"padded sequence length {s_pad} (S={s})"
-        )
+    _check_grid_coverage(block_q, block_k, s, s_pad)
     # Multi-tile grids quantize via scratch caches (each q tile once per kv
     # sweep, each k tile once per grid) — round 2 re-quantized per step and
     # had to auto-disable int8 scores off the single-(S,S)-tile policy
@@ -675,11 +693,7 @@ def _flash_bwd_pallas(
             sin = jnp.pad(sin, [(0, s_pad - s), (0, 0)])
     num_q = s_pad // block_q
     num_kv = s_pad // block_k
-    if num_q * block_q != s_pad or num_kv * block_k != s_pad:
-        raise ValueError(
-            f"block_q={block_q}, block_k={block_k} must both divide the "
-            f"padded sequence length {s_pad} (S={s})"
-        )
+    _check_grid_coverage(block_q, block_k, s, s_pad)
     if bshd:
         # view as [B, S, H*D]; BlockSpecs slice head strips (see _flash_fwd)
         q, k, v, do = (x.reshape(b, s_pad, h * d) for x in (q, k, v, do))

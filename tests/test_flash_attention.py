@@ -102,6 +102,51 @@ def test_grad_matches_xla():
                                    rtol=1e-3)
 
 
+def test_padding_only_truncation_fwd_and_grad():
+    """Mixed block sizes whose floor grids cover all REAL rows but not the
+    full padded length are benign and must pass the coverage guard: the
+    backward at long S pairs the forward's block_q with its own smaller
+    block_k cap (e.g. (512, 896) over s_pad=8960 at the 1024px point
+    S=8704), which a strict divisibility check used to reject.  Small
+    analog: S=768, (block_q=384, block_k=512) -> s_pad=1024, q grid covers
+    exactly 768."""
+    q, k, v = make_qkv(jax.random.key(9), s=768)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, cond_start=512, mode="union",
+                            block_q=384, block_k=512) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            unified_attention(q, k, v, cond_len=256, mode="union",
+                              backend="xla") ** 2
+        )
+
+    out = flash_attention(q, k, v, cond_start=512, mode="union",
+                          block_q=384, block_k=512)
+    ref = unified_attention(q, k, v, cond_len=256, mode="union",
+                            backend="xla")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)
+
+
+def test_real_row_truncation_raises():
+    """A block size whose floor grid drops REAL rows must raise (it used to
+    silently zero their outputs and make tile-sweep timings look fast)."""
+    q, k, v = make_qkv(jax.random.key(10), s=384)
+    with pytest.raises(ValueError, match="real"):
+        flash_attention(q, k, v, cond_start=256, mode="union",
+                        block_q=256, block_k=384)
+
+
 def test_pallas_backward_mask_modes():
     """The Pallas dKV/dQ kernels (non-cfactor modes) must match XLA grads."""
     q, k, v = make_qkv(jax.random.key(7), s=256)
@@ -444,14 +489,14 @@ def test_int8_qk_stays_active_on_multi_tile(monkeypatch):
 
 
 def test_non_dividing_blocks_raise():
-    """Explicit block sizes that don't divide the padded length must raise
-    instead of silently dropping tail tiles (num_q floor truncation)."""
+    """Explicit block sizes whose floor grid drops REAL rows must raise
+    instead of silently zeroing the tail (num_q floor truncation)."""
     import pytest
 
     from loongx_tpu.ops.flash_attention import flash_attention
 
     q = jnp.ones((1, 2, 1024, 128), jnp.bfloat16)
-    with pytest.raises(ValueError, match="must both divide"):
+    with pytest.raises(ValueError, match="real rows would be dropped"):
         flash_attention(
             q, q, q, cond_start=512, mode="union",
             block_q=768, block_k=1024, interpret=True,
