@@ -530,13 +530,16 @@ def _stacked_blocks(k: int, n: int):
     elif n % 1536 == 0:
         block_n = 1536  # TP-local shards of the 3072-wide FLUX linears
     elif n % 2048 == 0:
-        block_n = 2048  # power-of-two widths (T5/CLIP/Whisper linears)
+        block_n = 2048  # power-of-two widths (T5/CLIP linears)
+    elif n % 2560 == 0:
+        block_n = 2560  # Whisper-large ff (5120)
+    elif n % 1280 == 0:
+        block_n = 1280  # Whisper-large d_model
     else:
         block_n = 2048 if wide_n else 1024
-    if k % 3072 == 0:
-        return block_n, 3072
-    if k % 2048 == 0:
-        return block_n, 2048  # K=4096/10240 text-encoder linears
+    for bk in (3072, 2048, 2560, 1280):  # K=4096/10240/5120/1280 encoders
+        if k % bk == 0:
+            return block_n, bk
     return block_n, (1024 if wide_n else 1536)
 
 

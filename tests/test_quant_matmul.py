@@ -337,6 +337,31 @@ def test_stacked_matches_flat_per_block():
         )
 
 
+def test_stacked_tile_policy_covers_flux_and_text_shapes():
+    """_stacked_blocks must return DIVIDING tiles for every serving shape:
+    a _stacked_ok failure silently falls back to the flat kernel on a
+    per-call weight-slice COPY — worse than the XLA dequant path it was
+    meant to replace.  FLUX shapes are 3072 multiples; the text encoders
+    (T5-XXL 4096/10240, CLIP-L 768/3072, Whisper 1280/5120) are not."""
+    from loongx_tpu.ops.quant_matmul import _stacked_blocks, _stacked_ok
+
+    shapes = [
+        (3072, 3072), (3072, 9216), (3072, 15360), (15360, 3072),  # FLUX
+        (3072, 12288), (12288, 3072),      # proj_out K-split halves
+        (1536, 3072), (3072, 1536),        # TP-local shards
+        (4096, 4096), (4096, 10240), (10240, 4096),   # T5-XXL
+        (768, 768), (768, 3072), (3072, 768),         # CLIP-L
+        (1280, 1280), (1280, 5120), (5120, 1280),     # Whisper large
+    ]
+    for k, n in shapes:
+        bn, bk = _stacked_blocks(k, n)
+        bn, bk = min(bn, n), min(bk, k)
+        assert _stacked_ok(k, n, bn, bk), (k, n, bn, bk)
+    # and the FLUX 3072-multiple tiles stay at the measured (3072, 3072)
+    assert _stacked_blocks(3072, 3072) == (3072, 3072)
+    assert _stacked_blocks(15360, 3072) == (3072, 3072)
+
+
 def test_stacked_w8a8_matches_flat(monkeypatch):
     from loongx_tpu.ops.quant_matmul import (
         quant_matmul_stacked, quant_matmul_w8a8,
