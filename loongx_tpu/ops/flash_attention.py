@@ -127,7 +127,9 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
     for bq in (512, 384, 256, LANES):
         if s_pad % bq == 0:
             return bq, bk
-    return bk, bk
+    raise AssertionError(
+        f"unreachable: s_pad={s_pad} is a multiple of LANES"
+    )  # bk | s_pad and LANES | bk, so the bq=LANES candidate always divides
 
 
 def _check_grid_coverage(block_q: int, block_k: int, s: int, s_pad: int):
@@ -806,7 +808,12 @@ def _flash_bwd_pallas(
 
 
 def _bias_for(s_q: int, cond_start: int, mode: str, cbias: jnp.ndarray):
-    """XLA-side bias reconstruction for the backward pass."""
+    """XLA-side bias reconstruction for the backward pass.
+
+    Same block rules as ops/attention._block_bias (keep the mode table in
+    sync), but NOT interchangeable with it: cbias arrives pre-log-transformed
+    here, and masks use the finite MASK_VALUE instead of -inf so the
+    recomputed softmax stays NaN-free under differentiation."""
     row = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_q), 0) >= cond_start
     col = jax.lax.broadcasted_iota(jnp.int32, (s_q, s_q), 1) >= cond_start
     if mode == "cfactor":
@@ -868,6 +875,22 @@ def _xla_rope_bwd(g, cos, sin):
     return gf * cos + g_rot * sin
 
 
+def _bwd_blocks(s: int, block_q: int, block_k: int) -> Tuple[int, int]:
+    """Backward block pair: the backward kernels carry two [bq, bk] fp32
+    temporaries, so they take their own (smaller, MAX_BLOCK_BWD) block
+    policy regardless of the forward's.  Mixing the forward's block_q with
+    the backward cap can produce non-covering floor grids (e.g. S=4353:
+    (512, 896) covers only 4096 of the 4480-padded rows) — fall back to the
+    equal-block backward policy, which divides its own padding and so
+    always covers every real row."""
+    bq_bwd, bk_bwd = _auto_blocks(s, MAX_BLOCK_BWD)
+    bq, bk = min(block_q, bq_bwd), min(block_k, bk_bwd)
+    s_pad = _round_up(s, max(bq, bk))
+    if (s_pad // bq) * bq < s or (s_pad // bk) * bk < s:
+        return bq_bwd, bk_bwd
+    return bq, bk
+
+
 def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
                          interpret, bshd, int8_qk, residuals, do):
     """Backward pass.
@@ -878,12 +901,10 @@ def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
     a cbias gradient) falls back to exact XLA recompute."""
     q, k, v, cbias, cos, sin, o, m, l = residuals
     if mode != "cfactor":
-        # backward kernels carry two [bq, bk] fp32 temporaries — use their
-        # own (smaller) block policy regardless of the forward's
-        bq_bwd, bk_bwd = _auto_blocks(q.shape[1 if bshd else 2], MAX_BLOCK_BWD)
+        bq, bk = _bwd_blocks(q.shape[1 if bshd else 2], block_q, block_k)
         dq, dk, dv = _flash_bwd_pallas(
             q, k, v, cos, sin, o, m, l, do, cond_start, mode,
-            min(block_q, bq_bwd), min(block_k, bk_bwd), use_rope, interpret,
+            bq, bk, use_rope, interpret,
             bshd=bshd,
         )
         return (
@@ -959,6 +980,9 @@ def flash_attention(
     ``cond_start`` is the first condition-token index (== S when no condition
     stream).  ``rope`` = (cos, sin) tables [S, D] fuses the rotary embedding
     of q/k into the kernel (interleaved-pair convention, as ops/rope.py).
+    The tables are treated as CONSTANTS under differentiation: their
+    cotangents are zero (position ids are integers everywhere in this
+    framework — learned/continuous positions would need a d(cos,sin) path).
     Block sizes default to the measured-optimal `auto_blocks` policy.
     """
     if layout == "bhsd":

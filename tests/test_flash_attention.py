@@ -138,6 +138,28 @@ def test_padding_only_truncation_fwd_and_grad():
                                    rtol=1e-3)
 
 
+def test_bwd_blocks_cover_every_length():
+    """The backward block pair must cover every real row for EVERY sequence
+    length under the default forward policy: mixing the forward's block_q
+    with the smaller backward cap used to fail ~10% of lengths past 4352
+    (e.g. S=4353 -> (512, 896) grids over s_pad=4480 cover only 4096)."""
+    from loongx_tpu.ops.flash_attention import (
+        _bwd_blocks, _round_up, auto_blocks,
+    )
+
+    # every 128-aligned length (the real operating grid) + the worst-case
+    # odd lengths called out by review
+    lengths = list(range(128, 20000, 128)) + [4353, 6145, 12289, 14849]
+    for s in lengths:
+        fbq, fbk = auto_blocks(s)
+        bq, bk = _bwd_blocks(s, fbq, fbk)
+        s_pad = _round_up(s, max(bq, bk))
+        assert (s_pad // bq) * bq >= s, (s, bq, bk, s_pad)
+        assert (s_pad // bk) * bk >= s, (s, bq, bk, s_pad)
+    # the measured-good 1024px mixed pair is preserved (not over-fallen-back)
+    assert _bwd_blocks(8704, 512, 8704) == (512, 896)
+
+
 def test_real_row_truncation_raises():
     """A block size whose floor grid drops REAL rows must raise (it used to
     silently zero their outputs and make tile-sweep timings look fast)."""
