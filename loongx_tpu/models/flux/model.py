@@ -311,14 +311,31 @@ def linear(
                 p["_blk"], bias2=p.get("bias"),
             ).reshape(*lead, -1)
             return y.astype(x.dtype)
-        # stacked scan view: scalar-prefetch kernel reads tiles straight out
-        # of the whole [NB, K, N] stack — no per-iteration slice copy
-        from loongx_tpu.ops.quant_matmul import quant_matmul_stacked_vjp
+        if tp is not None:
+            # TP + active LoRA: SPMD cannot partition a raw pallas_call over
+            # the N-sharded stack (`_use_pallas_qmm` docstring) and the
+            # shard_map wrapper above skips LoRA-carrying layers — dequant
+            # the sliced block in XLA, which shards cleanly, and fall
+            # through to the common LoRA/bias tail.
+            wq = jax.lax.dynamic_index_in_dim(
+                p["kernel_q"], p["_blk"], 0, keepdims=False
+            )
+            sc = jax.lax.dynamic_index_in_dim(
+                p["kernel_scale"], p["_blk"], 0, keepdims=False
+            )
+            w = (wq.astype(jnp.float32) * sc.astype(jnp.float32)).astype(
+                x.dtype
+            )
+            y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        else:
+            # stacked scan view: scalar-prefetch kernel reads tiles straight
+            # out of the whole [NB, K, N] stack — no per-iteration slice copy
+            from loongx_tpu.ops.quant_matmul import quant_matmul_stacked_vjp
 
-        y = quant_matmul_stacked_vjp(
-            x.reshape(-1, x.shape[-1]), p["kernel_q"],
-            p["kernel_scale"].reshape(nb, 1, -1), p["_blk"],
-        ).reshape(*lead, -1).astype(jnp.float32)
+            y = quant_matmul_stacked_vjp(
+                x.reshape(-1, x.shape[-1]), p["kernel_q"],
+                p["kernel_scale"].reshape(nb, 1, -1), p["_blk"],
+            ).reshape(*lead, -1).astype(jnp.float32)
     elif "kernel_q" in p:  # int8 weight-only quantized (ops/quant.py)
         if _use_pallas_qmm(p):
             # tile-dequant Pallas matmul: int8 HBM reads, no bf16 weight
@@ -413,7 +430,7 @@ def linear_gelu(
                 x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
                 p["kernel_q"], p["kernel_scale"].reshape(1, -1), bias,
             ).reshape(*lead, -1).astype(x.dtype)
-    return gelu_tanh(linear(p, x, use_lora, lora_mask))
+    return gelu_tanh(linear(p, x, use_lora, lora_mask, tp_kind=tp_kind))
 
 
 # ---------------------------------------------------------------------------
@@ -512,6 +529,19 @@ def _qkv(
             # one kernel: matmul + in-BlockSpec q/k/v split + fused RMS
             # (+ optional LN+adaLN prologue in the x load)
             return _fused_qkv_stacked(fused, nq, nk, x, num_heads, ln_mod)
+        kq = fused.get("kernel_q", fused.get("kernel"))
+        if kq is not None and kq.ndim == 3:
+            # a scan-sliced TP-layout fused qkv (kernel [K, 3, H], the
+            # stacked scan disabled): flatten the trailing (3, H) axes to
+            # the flat [K, 3H] layout `linear` expects — pure reshapes,
+            # and jnp.split below recovers q/k/v
+            fused = {
+                k: (
+                    v.reshape(*v.shape[:-2], -1)
+                    if v.shape[-2:] == kq.shape[-2:] else v
+                )
+                for k, v in fused.items()
+            }
         q, k, v = jnp.split(linear(fused, x, use_lora=False), 3, -1)
     elif prefix == "to":
         q = linear(attn["to_q"], x, use_lora, lora_mask, tp_kind="col")
@@ -1070,6 +1100,14 @@ def flux_forward(
     pooled = pooled.astype(wdt)
     if use_cond:
         cond = cond.astype(wdt)
+    # ControlNet residuals add onto the img scan carry — an f32 stack over
+    # bf16 latents would promote the carry and fail the same check.
+    if controlnet_block_samples is not None:
+        controlnet_block_samples = controlnet_block_samples.astype(wdt)
+    if controlnet_single_block_samples is not None:
+        controlnet_single_block_samples = (
+            controlnet_single_block_samples.astype(wdt)
+        )
 
     img_h = linear(params["x_embedder"], img, use_lora=latent_lora)
     cond_h = (
@@ -1146,10 +1184,11 @@ def flux_forward(
             img_c = img_c + _cn_residual(controlnet_block_samples, cn_i)
         return (txt_c, img_c, cond_c), None
 
-    body = double_body
-    if remat:
-        body = jax.checkpoint(double_body, prevent_cse=False)
     if use_cond:
+        body = (
+            jax.checkpoint(double_body, prevent_cse=False)
+            if remat else double_body
+        )
         (txt_h, img_h, cond_h), _ = jax.lax.scan(
             body, (txt_h, img_h, cond_h), (dbl_xs, cn_dbl_idx)
         )

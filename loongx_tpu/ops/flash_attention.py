@@ -132,15 +132,24 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
     )  # bk | s_pad and LANES | bk, so the bq=LANES candidate always divides
 
 
+def _covers(block: int, s: int, s_pad: int) -> bool:
+    """Does a floor-truncated grid of `block`-row tiles over `s_pad` reach
+    every REAL row of S=s?  The single source of the coverage invariant —
+    `_check_grid_coverage` (trace-time guard) and `_bwd_blocks` (fallback
+    decision) must agree or the fallback can approve a pair the kernel then
+    rejects."""
+    return (s_pad // block) * block >= s
+
+
 def _check_grid_coverage(block_q: int, block_k: int, s: int, s_pad: int):
     """Floor-truncated grids may skip PADDING rows (benign — the backward
     mixes its smaller block cap with the forward's, e.g. (512, 896) over
     s_pad=8960 covers exactly the 8704 real rows) but must never skip REAL
     rows: a non-dividing block size that drops real rows silently zeroes
     their outputs (and once made a tile-sweep timing look fast)."""
-    q_cover = (s_pad // block_q) * block_q
-    kv_cover = (s_pad // block_k) * block_k
-    if q_cover < s or kv_cover < s:
+    if not (_covers(block_q, s, s_pad) and _covers(block_k, s, s_pad)):
+        q_cover = (s_pad // block_q) * block_q
+        kv_cover = (s_pad // block_k) * block_k
         raise ValueError(
             f"block_q={block_q}, block_k={block_k} grids cover only "
             f"{q_cover}/{kv_cover} rows of S={s} (padded {s_pad}) — real "
@@ -880,14 +889,16 @@ def _bwd_blocks(s: int, block_q: int, block_k: int) -> Tuple[int, int]:
     temporaries, so they take their own (smaller, MAX_BLOCK_BWD) block
     policy regardless of the forward's.  Mixing the forward's block_q with
     the backward cap can produce non-covering floor grids (e.g. S=4353:
-    (512, 896) covers only 4096 of the 4480-padded rows) — fall back to the
-    equal-block backward policy, which divides its own padding and so
-    always covers every real row."""
+    (512, 896) covers only 4096 of the 4480-padded rows) — fall back to an
+    EQUAL block pair, which divides its own padding and so always covers
+    every real row.  The fallback is min(bq, bk), never larger: explicit
+    caller block sizes are VMEM caps and must stay upper bounds."""
     bq_bwd, bk_bwd = _auto_blocks(s, MAX_BLOCK_BWD)
     bq, bk = min(block_q, bq_bwd), min(block_k, bk_bwd)
     s_pad = _round_up(s, max(bq, bk))
-    if (s_pad // bq) * bq < s or (s_pad // bk) * bk < s:
-        return bq_bwd, bk_bwd
+    if not (_covers(bq, s, s_pad) and _covers(bk, s, s_pad)):
+        b = min(bq, bk)
+        return b, b
     return bq, bk
 
 

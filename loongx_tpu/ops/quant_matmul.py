@@ -72,7 +72,10 @@ def _epilogue(acc, scale_ref, bias_ref, activation):
     return z
 
 
-def _qmm_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None):
+def _qmm_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None,
+                w8a8=False):
+    """Flat-weight kernel body shared by the weight-only and W8A8 paths
+    (the flag only switches the `_accum_tile` MAC)."""
     bias_ref, o_ref, acc_ref = refs if len(refs) == 3 else (None, *refs)
     ki = pl.program_id(2)
 
@@ -80,7 +83,7 @@ def _qmm_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    _accum_tile(acc_ref, x_ref[...], wq_ref[...], w8a8=False)
+    _accum_tile(acc_ref, x_ref[...], wq_ref[...], w8a8=w8a8)
 
     @pl.when(ki == num_k - 1)
     def _store():
@@ -89,28 +92,10 @@ def _qmm_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None):
         ).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_m", "block_n", "block_k", "interpret", "activation"),
-)
-def quant_matmul(
-    x: jnp.ndarray,          # [M, K] bf16/fp32
-    w_q: jnp.ndarray,        # [K, N] int8
-    scale: jnp.ndarray,      # [1, N] fp32
-    block_m: int = 512,
-    block_n: int = 1024,
-    block_k: int = 1536,
-    interpret: Optional[bool] = None,
-    bias: Optional[jnp.ndarray] = None,       # [1, N] fp32
-    activation: Optional[str] = None,         # fused epilogue ("gelu_tanh")
-) -> jnp.ndarray:
-    # Default tiles from a v5e sweep at FLUX shapes (M=2560, K/N in
-    # {3072, 12288, 15360}): (512, 1024, 1536) reaches 144-180 TF/s —
-    # above the XLA bf16 dot on the same shapes (138-166 TF/s) because the
-    # int8 weight tiles halve HBM traffic.  The old (256, 512, 512) default
-    # measured 102-122 TF/s.
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _qmm_flat(x, w_q, scale, *, w8a8, block_m, block_n, block_k,
+              interpret, bias, activation):
+    """Shared scaffolding (clamp/pad/specs/grid) for the flat [K, N]
+    kernels; `w8a8` picks the MAC path.  Callers are jitted."""
     m, k = x.shape
     k2, n = w_q.shape
     assert k == k2 and scale.shape == (1, n), (x.shape, w_q.shape, scale.shape)
@@ -140,7 +125,9 @@ def quant_matmul(
         extra_specs, extra_args = [vec_spec], [bias.astype(jnp.float32)]
     num_k = k_pad // block_k
     out = pl.pallas_call(
-        functools.partial(_qmm_kernel, num_k=num_k, activation=activation),
+        functools.partial(
+            _qmm_kernel, num_k=num_k, activation=activation, w8a8=w8a8
+        ),
         grid=(m_pad // block_m, n_pad // block_n, num_k),
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, ki: (i, ki)),
@@ -167,6 +154,34 @@ def quant_matmul(
         interpret=interpret,
     )(x, w_q, scale.astype(jnp.float32), *extra_args)
     return out[:m, :n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "interpret", "activation"),
+)
+def quant_matmul(
+    x: jnp.ndarray,          # [M, K] bf16/fp32
+    w_q: jnp.ndarray,        # [K, N] int8
+    scale: jnp.ndarray,      # [1, N] fp32
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1536,
+    interpret: Optional[bool] = None,
+    bias: Optional[jnp.ndarray] = None,       # [1, N] fp32
+    activation: Optional[str] = None,         # fused epilogue ("gelu_tanh")
+) -> jnp.ndarray:
+    # Default tiles from a v5e sweep at FLUX shapes (M=2560, K/N in
+    # {3072, 12288, 15360}): (512, 1024, 1536) reaches 144-180 TF/s —
+    # above the XLA bf16 dot on the same shapes (138-166 TF/s) because the
+    # int8 weight tiles halve HBM traffic.  The old (256, 512, 512) default
+    # measured 102-122 TF/s.
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _qmm_flat(
+        x, w_q, scale, w8a8=False, block_m=block_m, block_n=block_n,
+        block_k=block_k, interpret=interpret, bias=bias, activation=activation,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -243,10 +258,9 @@ def quant_matmul_t(
         scratch_shapes=[pltpu.VMEM((block_m, block_k), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            # default scoped-VMEM budget (~22 MB) is within 1 MB of the
-            # wide-N ff tiles' double-buffered working set; the fused bias
-            # input tipped it over -> give the kernel the same generous
-            # budget as the flash kernels
+            # same generous budget as the forward kernels: the wide-N dy
+            # tiles' double-buffered working set sits right at the default
+            # scoped-VMEM limit (~22 MB)
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
@@ -269,14 +283,17 @@ def quant_matmul_vjp(x, w_q, scale):
 
 
 def _qmm_fwd(x, w_q, scale):
-    return quant_matmul(x, w_q, scale), (w_q, scale)
+    # the zero-size sentinel only carries x.dtype: cotangents must match the
+    # primal dtype exactly (custom_vjp's inexact-mismatch leniency is a
+    # deprecated JAX exception slated for removal)
+    return quant_matmul(x, w_q, scale), (w_q, scale, jnp.zeros((), x.dtype))
 
 
 def _qmm_bwd(res, dy):
-    w_q, scale = res
+    w_q, scale, x_proto = res
     import numpy as np
 
-    dx = quant_matmul_t(dy, w_q, scale)
+    dx = quant_matmul_t(dy, w_q, scale).astype(x_proto.dtype)
     return (
         dx,
         np.zeros(w_q.shape, jax.dtypes.float0),
@@ -290,29 +307,6 @@ quant_matmul_vjp.defvjp(_qmm_fwd, _qmm_bwd)
 # ---------------------------------------------------------------------------
 # W8A8: dynamic activation quant + native int8 MXU matmul
 # ---------------------------------------------------------------------------
-
-
-def _qmm_w8a8_kernel(x_ref, wq_ref, scale_ref, *refs, num_k, activation=None):
-    """Per (row, k-tile) dynamic activation quantization fused into the
-    matmul: the bf16 x tile is quantized to int8 in VMEM, the MXU runs a
-    native s8 x s8 -> s32 dot (2x the bf16 MXU rate on v5e), and each
-    k-tile's contribution is rescaled into an fp32 accumulator.  Group-wise
-    (per-row-per-k-tile) activation scales are *finer* than whole-row W8A8,
-    so quantization error stays below weight-only int8 + bf16 rounding."""
-    bias_ref, o_ref, acc_ref = refs if len(refs) == 3 else (None, *refs)
-    ki = pl.program_id(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    _accum_tile(acc_ref, x_ref[...], wq_ref[...], w8a8=True)
-
-    @pl.when(ki == num_k - 1)
-    def _store():
-        o_ref[...] = _epilogue(
-            acc_ref[...], scale_ref, bias_ref, activation
-        ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -332,69 +326,26 @@ def quant_matmul_w8a8(
 ) -> jnp.ndarray:
     """y = (dyn-int8(x) @ w_q) * x_scale * scale using the int8 MXU path.
 
+    Per (row, k-tile) dynamic activation quantization fused into the
+    matmul: the bf16 x tile is quantized to int8 in VMEM, the MXU runs a
+    native s8 x s8 -> s32 dot (2x the bf16 MXU rate on v5e), and each
+    k-tile's contribution is rescaled into an fp32 accumulator.  Group-wise
+    (per-row-per-k-tile) activation scales are *finer* than whole-row W8A8,
+    so quantization error stays below weight-only int8 + bf16 rounding.
+
     Default (block_n, block_k) come from a v5e sweep on the FLUX shapes:
     wide-N shapes (ff-in, N >= 4K) run fastest at (2048, 1024) = 211 TF/s;
     everything else at (1024, 1536) = 193-279 TF/s."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    m, k = x.shape
-    k2, n = w_q.shape
     if block_n is None or block_k is None:
-        wide_n = n >= 4 * k
+        wide_n = w_q.shape[1] >= 4 * w_q.shape[0]
         block_n = block_n or (2048 if wide_n else 1024)
         block_k = block_k or (1024 if wide_n else 1536)
-    assert k == k2 and scale.shape == (1, n), (x.shape, w_q.shape, scale.shape)
-    x = x.astype(jnp.bfloat16)
-
-    block_m = min(block_m, _round_up(m, 128))
-    block_n = min(block_n, _round_up(n, 128))
-    block_k = min(block_k, _round_up(k, 128))
-
-    m_pad, k_pad, n_pad = (
-        _round_up(m, block_m), _round_up(k, block_k), _round_up(n, block_n)
+    return _qmm_flat(
+        x, w_q, scale, w8a8=True, block_m=block_m, block_n=block_n,
+        block_k=block_k, interpret=interpret, bias=bias, activation=activation,
     )
-    if (m_pad, k_pad) != (m, k):
-        x = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))
-    if (k_pad, n_pad) != (k, n):
-        w_q = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))
-    if n_pad != n:
-        scale = jnp.pad(scale, ((0, 0), (0, n_pad - n)))
-        if bias is not None:
-            bias = jnp.pad(bias, ((0, 0), (0, n_pad - n)))
-
-    vec_spec = pl.BlockSpec((1, block_n), lambda i, j, ki: (0, j))
-    extra_specs, extra_args = [], []
-    if bias is not None:
-        extra_specs, extra_args = [vec_spec], [bias.astype(jnp.float32)]
-    num_k = k_pad // block_k
-    out = pl.pallas_call(
-        functools.partial(_qmm_w8a8_kernel, num_k=num_k, activation=activation),
-        grid=(m_pad // block_m, n_pad // block_n, num_k),
-        in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, ki: (i, ki)),
-            pl.BlockSpec((block_k, block_n), lambda i, j, ki: (ki, j)),
-            vec_spec,
-            *extra_specs,
-        ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ki: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            # default scoped-VMEM budget (~22 MB) is within 1 MB of the
-            # wide-N ff tiles' double-buffered working set; the fused bias
-            # input tipped it over -> give the kernel the same generous
-            # budget as the flash kernels
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * k_pad * n_pad,
-            bytes_accessed=m_pad * k_pad * 2 + k_pad * n_pad + m_pad * n_pad * 2,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(x, w_q, scale.astype(jnp.float32), *extra_args)
-    return out[:m, :n]
 
 
 @jax.custom_vjp
@@ -407,7 +358,10 @@ def quant_matmul_w8a8_vjp(x, w_q, scale):
 
 
 def _qmm_w8a8_fwd(x, w_q, scale):
-    return quant_matmul_w8a8(x, w_q, scale), (w_q, scale)
+    return (
+        quant_matmul_w8a8(x, w_q, scale),
+        (w_q, scale, jnp.zeros((), x.dtype)),
+    )
 
 
 quant_matmul_w8a8_vjp.defvjp(_qmm_w8a8_fwd, _qmm_bwd)
@@ -571,8 +525,9 @@ def quant_matmul_stacked(
 
       ab:   y = ((layernorm(x) * a_seg(row) + b_seg(row)) @ W) ...
             rows 0..3 of ab are a_main/b_main/a_cond/b_cond ([K] each);
-            requires the k grid to be one iteration (K == block_k) so the
-            full feature row is in VMEM — true for every FLUX K=3072 linear.
+            works at any k-grid depth — the per-row (mean, rstd) arrive
+            precomputed in a stats operand and the ab rows are sliced
+            per k-tile (see `_ln_mod_prologue`).
       resid+gate: out = resid + gate_seg(row) * (acc * scale + bias)
             gate rows 0..1 are gate_main/gate_cond ([N] each).
 
@@ -600,14 +555,26 @@ def quant_matmul_stacked(
     )
 
 
-def _ln_row_stats(x):
-    """[M, K] -> [M, 128] fp32 with col 0 = mean, col 1 = rstd (the
-    kernel-prologue stats operand; 128 lanes for TPU tiling)."""
+_LN_EPS = 1e-6  # FLUX layernorm epsilon — single source for kernel,
+                # fallback, and backward (a desynchronized copy would make
+                # fused-vs-fallback numerics silently diverge)
+
+
+def _ln_mean_rstd(x):
+    """Shared LN reduction: [M, K] any-dtype -> fp32 ([M,1] mean, [M,1]
+    rstd).  Every LN-touching path (kernel stats operand, XLA fallback,
+    custom_vjp backward) MUST go through this one recipe."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mean
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + 1e-6)
+    return mean, jax.lax.rsqrt(var + _LN_EPS)
+
+
+def _ln_row_stats(x):
+    """[M, K] -> [M, 128] fp32 with col 0 = mean, col 1 = rstd (the
+    kernel-prologue stats operand; 128 lanes for TPU tiling)."""
+    mean, rstd = _ln_mean_rstd(x)
     return jnp.concatenate(
         [mean, rstd, jnp.zeros((x.shape[0], 126), jnp.float32)], axis=-1
     )
@@ -615,21 +582,17 @@ def _ln_row_stats(x):
 
 def _xla_ln_mod(x, ab, boundary):
     """XLA reference/fallback for the fused LN + segment-affine prologue."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    xn = xc * jax.lax.rsqrt(var + 1e-6)
-    rows = jnp.arange(x.shape[0])[:, None]
-    a = jnp.where(rows >= boundary, ab[2:3, :], ab[0:1, :])
-    b = jnp.where(rows >= boundary, ab[3:4, :], ab[1:2, :])
+    mean, rstd = _ln_mean_rstd(x)
+    xn = (x.astype(jnp.float32) - mean) * rstd
+    m = x.shape[0]
+    a = _seg_select(jnp.stack([ab[0], ab[2]]), m, boundary)
+    b = _seg_select(jnp.stack([ab[1], ab[3]]), m, boundary)
     return (xn * a + b).astype(jnp.bfloat16)
 
 
 def _xla_gate_res(y, resid, gate, boundary):
     """XLA reference/fallback for the fused gate + residual epilogue."""
-    rows = jnp.arange(y.shape[0])[:, None]
-    g = jnp.where(rows >= boundary, gate[1:2, :], gate[0:1, :])
+    g = _seg_select(gate[0:2], y.shape[0], boundary)
     return (resid.astype(jnp.float32) + g * y.astype(jnp.float32)).astype(
         jnp.bfloat16
     )
@@ -777,7 +740,9 @@ def quant_matmul_t_stacked(
         interpret = jax.default_backend() != "tpu"
     m, n = dy.shape
     nb, k, n2 = w_q3.shape
-    assert n == n2, (dy.shape, w_q3.shape)
+    assert n == n2 and scale3.shape == (nb, 1, n), (
+        dy.shape, w_q3.shape, scale3.shape
+    )
     block_n, block_k = _stacked_blocks(k, n)
     block_n = min(block_n, n)
     block_k = min(block_k, k)
@@ -826,14 +791,17 @@ def quant_matmul_stacked_vjp(x, w_q3, scale3, blk):
 
 
 def _qms_fwd(x, w_q3, scale3, blk):
-    return quant_matmul_stacked(x, w_q3, scale3, blk), (w_q3, scale3, blk)
+    return (
+        quant_matmul_stacked(x, w_q3, scale3, blk),
+        (w_q3, scale3, blk, jnp.zeros((), x.dtype)),
+    )
 
 
 def _qms_bwd(res, dy):
     import numpy as np
 
-    w_q3, scale3, blk = res
-    dx = quant_matmul_t_stacked(dy, w_q3, scale3, blk)
+    w_q3, scale3, blk, x_proto = res
+    dx = quant_matmul_t_stacked(dy, w_q3, scale3, blk).astype(x_proto.dtype)
     return (
         dx,
         np.zeros(w_q3.shape, jax.dtypes.float0),
@@ -872,7 +840,7 @@ def _qlgs_bwd(res, dy):
     (dz,) = act_vjp(dy.astype(jnp.float32))
     dx = quant_matmul_t_stacked(dz.astype(dy.dtype), w_q3, scale3, blk)
     return (
-        dx,
+        dx.astype(x.dtype),
         np.zeros(w_q3.shape, jax.dtypes.float0),
         jnp.zeros_like(scale3),
         jnp.zeros_like(bias3),
@@ -894,12 +862,10 @@ quant_linear_gelu_stacked.defvjp(_qlgs_fwd, _qlgs_bwd)
 
 
 def _ln_stats(x):
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + 1e-6)
-    return xc * rstd, rstd
+    """(normalized x, rstd) for the custom_vjp backward — same reduction
+    recipe as the kernel prologue via `_ln_mean_rstd`."""
+    mean, rstd = _ln_mean_rstd(x)
+    return (x.astype(jnp.float32) - mean) * rstd, rstd
 
 
 def _seg_select(vec2, m, boundary):
@@ -992,14 +958,14 @@ def _qgrl_fwd(seg_boundary, x, w_q3, scale3, bias3, resid, gate, blk):
         quant_gate_res_linear_stacked(
             seg_boundary, x, w_q3, scale3, bias3, resid, gate, blk
         ),
-        (x, w_q3, scale3, bias3, gate, blk),
+        (x, w_q3, scale3, bias3, gate, blk, jnp.zeros((), resid.dtype)),
     )
 
 
 def _qgrl_bwd(seg_boundary, res, dy):
     import numpy as np
 
-    x, w_q3, scale3, bias3, gate, blk = res
+    x, w_q3, scale3, bias3, gate, blk, resid_proto = res
     m = x.shape[0]
     g_seg = _seg_select(jnp.stack([gate[0], gate[1]]), m, seg_boundary)
     dyf = dy.astype(jnp.float32)
@@ -1013,11 +979,11 @@ def _qgrl_bwd(seg_boundary, res, dy):
     dg_cond = jnp.sum(jnp.where(is_cond, dyf * z, 0.0), axis=0)
     dgate = jnp.zeros_like(gate).at[0].set(dg_main).at[1].set(dg_cond)
     return (
-        dx,
+        dx.astype(x.dtype),
         np.zeros(w_q3.shape, jax.dtypes.float0),
         jnp.zeros_like(scale3),
         jnp.zeros_like(bias3),
-        dy,
+        dy.astype(resid_proto.dtype),  # d(resid + ...)/d(resid) = identity
         dgate,
         np.zeros(jnp.shape(blk), jax.dtypes.float0),
     )
@@ -1058,7 +1024,7 @@ def _qlg_bwd(res, dy):
     (dz,) = act_vjp(dy.astype(jnp.float32))
     dx = quant_matmul_t(dz.astype(dy.dtype), w_q, scale)
     return (
-        dx,
+        dx.astype(x.dtype),
         np.zeros(w_q.shape, jax.dtypes.float0),
         jnp.zeros_like(scale),
         jnp.zeros_like(bias),
@@ -1070,15 +1036,15 @@ quant_linear_gelu.defvjp(_qlg_fwd, _qlg_bwd)
 
 def quant_linear_apply(p, x: jnp.ndarray) -> jnp.ndarray:
     """Apply an int8-quantized linear dict to [..., in] activations via the
-    Pallas kernel (TPU) with an XLA dequant fallback elsewhere."""
+    Pallas kernel — on TPU natively, elsewhere in interpret mode.  The bias
+    rides the kernel's fused store epilogue (no separate [M, N] HBM pass)."""
     *lead, d_in = x.shape
     x2 = x.reshape(-1, d_in)
     w_q, scale = p["kernel_q"], p["kernel_scale"]
     if w_q.ndim != 2:
         raise ValueError("quant_linear_apply expects an unstacked [K,N] slice")
-    y = quant_matmul(x2, w_q, scale.reshape(1, -1))
-    if "bias" in p:
-        y = (y.astype(jnp.float32) + p["bias"].astype(jnp.float32)).astype(y.dtype)
+    bias = p["bias"].reshape(1, -1) if "bias" in p else None
+    y = quant_matmul(x2, w_q, scale.reshape(1, -1), bias=bias)
     return y.reshape(*lead, -1).astype(x.dtype)
 
 
@@ -1134,8 +1100,10 @@ def _qmm_qkv_stacked_kernel(
 def _qkv_block_n(h: int, head_dim: int) -> int:
     """Largest candidate tile dividing H (so no tile straddles the q/k/v
     boundary) and a multiple of head_dim (so RMS groups stay whole);
-    3072-first per the stacked tile sweep (full-width N chunks win)."""
-    for bn in (3072, 1024, 768, 512, 384, 256, 128):
+    3072-first per the stacked tile sweep (full-width N chunks win).
+    2048/1536 cover power-of-two head widths and the 1536 TP-local shards
+    of the 3072-wide FLUX projections."""
+    for bn in (3072, 2048, 1536, 1024, 768, 512, 384, 256, 128):
         if h % bn == 0 and bn % head_dim == 0:
             return bn
     return h
@@ -1160,8 +1128,8 @@ def quant_qkv_stacked(
     Forward-only (serving): LoRA-carrying projections are never fused
     (ops/quant.fuse_qkv_projections skips them), so no custom_vjp needed.
     ``ab`` fuses the block's layernorm + per-segment adaLN affine into the
-    kernel's x load (same contract as `quant_matmul_stacked`; requires one
-    k-iteration, true at FLUX K=3072).  Shapes the stacked tiling can't
+    kernel's x load (same contract as `quant_matmul_stacked`: precomputed
+    row stats, any k-grid depth).  Shapes the stacked tiling can't
     cover (K not divisible by the k-tile, H not a lane multiple on
     hardware) fall back to the flat kernel on a sliced stack + XLA
     split/RMS, mirroring `_quant_matmul_stacked_jit`.

@@ -38,6 +38,15 @@ DEFAULT_TARGETS: Tuple[str, ...] = (
     r"^single_blocks/proj_out$",
 )
 
+# The flux forward applies a LoRA delta only at call sites whose ``use_lora``
+# gate can be on (models/flux/model.py) — today exactly the DEFAULT_TARGETS
+# layers.  Everything else (context_embedder, norm1_context, ff_context,
+# add_*_proj, to_add_out, time_in/vector_in/guidance_in, norm_out, the final
+# proj_out, double ff/in) calls linear(..., use_lora=False): an adapter
+# attached there would get exactly-zero gradients and train nothing, so
+# `add_lora` refuses such targets instead of silently attaching dead leaves.
+FLUX_APPLIABLE_TARGETS: Tuple[str, ...] = DEFAULT_TARGETS
+
 
 def _walk_linears(tree: Params, prefix: str = ""):
     """Yield (path, dict) for every linear-like subtree — bf16 ({kernel})
@@ -57,8 +66,13 @@ def add_lora(
     alpha: int = 4,
     targets: Tuple[str, ...] = DEFAULT_TARGETS,
     dtype=jnp.bfloat16,
+    appliable: Optional[Tuple[str, ...]] = FLUX_APPLIABLE_TARGETS,
 ) -> Params:
-    """Return a copy of ``params`` with LoRA leaves added to targeted linears."""
+    """Return a copy of ``params`` with LoRA leaves added to targeted linears.
+
+    ``appliable`` guards against dead adapters: any matched path outside it
+    raises (the forward would never read those leaves — see
+    FLUX_APPLIABLE_TARGETS).  Pass appliable=None for non-flux trees."""
     fused = [
         p for p, _ in _walk_linears(params)
         if p.endswith(("to_qkv", "add_qkv_proj"))
@@ -90,6 +104,25 @@ def add_lora(
             matched.append((path, leaf_dict))
     if not matched:
         raise ValueError(f"no linears matched LoRA targets {targets}")
+    # The appliable guard only makes sense on a FULL flux tree (the paths it
+    # names are rooted there); subtree calls (e.g. on double_blocks alone)
+    # skip it — their paths have no double_blocks/ prefix to match.
+    full_flux = (
+        isinstance(params, dict)
+        and "double_blocks" in params
+        and "single_blocks" in params
+    )
+    if appliable is not None and full_flux:
+        ok = [re.compile(t) for t in appliable]
+        dead = [p for p, _ in matched if not any(a.search(p) for a in ok)]
+        if dead:
+            raise ValueError(
+                f"LoRA targets match layers the forward never applies "
+                f"adapters to (use_lora=False call sites): {dead}. These "
+                "would train with exactly-zero gradients. Target a subset "
+                "of train.lora.FLUX_APPLIABLE_TARGETS, or pass "
+                "appliable=None for a non-flux tree."
+            )
     keys = jax.random.split(key, len(matched))
     for (path, leaf), k in zip(matched, keys):
         kernel = leaf.get("kernel", leaf.get("kernel_q"))  # QLoRA: int8 base

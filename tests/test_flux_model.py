@@ -142,3 +142,30 @@ def test_mixed_input_dtypes_stable(tiny_setup):
     out = flux_forward(params, cfg, **mixed, attn_backend="xla")
     assert out.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_f32_controlnet_residuals_over_bf16_latents(tiny_setup):
+    """ControlNet residual stacks are canonicalized to the latents' dtype
+    like every other float input (regression: an f32 [N, B, S, H] stack over
+    bf16 latents promoted the img scan carry and crashed lax.scan's
+    carry-type check)."""
+    cfg, _params, batch = tiny_setup
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    b, s_img = batch["img"].shape[:2]
+    s_txt = batch["txt"].shape[1]
+    mixed = dict(
+        batch,
+        img=batch["img"].astype(jnp.bfloat16),
+        cond=batch["cond"].astype(jnp.bfloat16),
+    )
+    out = flux_forward(
+        params, cfg, **mixed, attn_backend="xla",
+        controlnet_block_samples=jnp.ones(
+            (2, b, s_img, cfg.hidden), jnp.float32
+        ),
+        controlnet_single_block_samples=jnp.ones(
+            (1, b, s_img, cfg.hidden), jnp.float32
+        ),
+    )
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())

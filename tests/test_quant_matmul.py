@@ -886,3 +886,105 @@ def test_add_lora_refuses_split_tree():
     split = split_single_proj_out(base, cfg.hidden)
     with pytest.raises(ValueError, match="proj_out_mlp"):
         add_lora(jax.random.key(1), split, r=2)
+
+
+def test_vjp_cotangent_dtypes_match_fp32_primals():
+    """Every quant custom_vjp must return cotangents in the PRIMAL dtype:
+    JAX's tolerance for inexact-dtype mismatches in bwd rules is a
+    deprecated exception (jax custom_derivatives _temporary_dtype_exception)
+    slated for removal — fp32 activations through the bf16-output transposed
+    kernels would then raise at every QLoRA step."""
+    import numpy as np
+
+    from loongx_tpu.ops.quant_matmul import (
+        quant_gate_res_linear_stacked,
+        quant_linear_gelu,
+        quant_linear_gelu_stacked,
+        quant_ln_mod_linear_stacked,
+        quant_matmul_stacked_vjp,
+        quant_matmul_vjp,
+        quant_matmul_w8a8_vjp,
+    )
+
+    rng = np.random.default_rng(7)
+    m, k, n, nb = 16, 128, 128, 2
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    scale = jnp.asarray(np.full((1, n), 1e-3), jnp.float32)
+    bias = jnp.zeros((1, n), jnp.float32)
+    wq3 = jnp.asarray(rng.integers(-127, 128, (nb, k, n)), jnp.int8)
+    scale3 = jnp.asarray(np.full((nb, 1, n), 1e-3), jnp.float32)
+    bias3 = jnp.zeros((nb, 1, n), jnp.float32)
+    ab = jnp.asarray(rng.standard_normal((8, k)), jnp.float32)
+    gate = jnp.asarray(rng.standard_normal((8, n)), jnp.float32)
+    resid = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    blk = jnp.asarray(0, jnp.int32)
+
+    def gsum(f, *args, argnums=0):
+        return jax.grad(
+            lambda *a: jnp.sum(f(*a).astype(jnp.float32)), argnums=argnums
+        )(*args)
+
+    assert gsum(quant_matmul_vjp, x, wq, scale).dtype == jnp.float32
+    assert gsum(quant_matmul_w8a8_vjp, x, wq, scale).dtype == jnp.float32
+    assert gsum(
+        lambda x: quant_matmul_stacked_vjp(x, wq3, scale3, blk), x
+    ).dtype == jnp.float32
+    assert gsum(
+        lambda x: quant_linear_gelu_stacked(x, wq3, scale3, bias3, blk), x
+    ).dtype == jnp.float32
+    assert gsum(
+        lambda x: quant_linear_gelu(x, wq, scale, bias), x
+    ).dtype == jnp.float32
+    assert gsum(
+        lambda x: quant_ln_mod_linear_stacked(
+            0, None, x, wq3, scale3, bias3, ab, blk
+        ), x,
+    ).dtype == jnp.float32
+    dx, dresid = gsum(
+        lambda x, r: quant_gate_res_linear_stacked(
+            0, x, wq3, scale3, bias3, r, gate, blk
+        ), x, resid, argnums=(0, 1),
+    )
+    assert dx.dtype == jnp.float32 and dresid.dtype == jnp.float32
+
+
+def test_tp_layout_fused_qkv_flat_fallback(monkeypatch):
+    """A TP-layout fused tree ([NB, K, 3, H] stacks) must still produce the
+    unfused forward when the stacked scan is disabled (LOONGX_STACKED_QMM=0):
+    the scan slices the stack to [K, 3, H], which the flat `linear` fallback
+    flattens to [K, 3H] (regression: jnp.dot contracted K against the size-3
+    axis and crashed)."""
+    from loongx_tpu.models.flux.model import (
+        FluxConfig, flux_forward, init_flux_params,
+    )
+    from loongx_tpu.ops.latents import latent_image_ids
+    from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
+
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    params["double_blocks"] = quantize_tree(params["double_blocks"])
+    params["single_blocks"] = quantize_tree(params["single_blocks"])
+    fused = dict(params)
+    fused["double_blocks"] = fuse_qkv_projections(
+        params["double_blocks"], tp_layout=True
+    )
+    fused["single_blocks"] = fuse_qkv_projections(
+        params["single_blocks"], tp_layout=True
+    )
+    assert fused["double_blocks"]["attn"]["to_qkv"]["kernel_q"].ndim == 4
+
+    b, s_img, s_txt = 1, 16, 4
+    kwargs = dict(
+        img=jax.random.normal(jax.random.key(1), (b, s_img, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.key(2), (b, s_txt, cfg.joint_dim)),
+        pooled=jax.random.normal(jax.random.key(3), (b, cfg.pooled_dim)),
+        timestep=jnp.full((b,), 0.5),
+        guidance=jnp.full((b,), 3.5),
+        img_ids=latent_image_ids(8, 8),
+        txt_ids=jnp.zeros((s_txt, 3)),
+    )
+    monkeypatch.setenv("LOONGX_STACKED_QMM", "0")
+    ref = flux_forward(params, cfg, **kwargs)
+    got = flux_forward(fused, cfg, **kwargs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

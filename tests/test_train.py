@@ -222,3 +222,21 @@ class TestTrainStep:
         np.testing.assert_array_equal(np.asarray(u1["w"]), 0.0)  # accumulated
         u2, state = opt.update(g, state, params)
         assert float(jnp.sum(jnp.abs(u2["w"]))) > 0  # applied
+
+
+def test_add_lora_refuses_dead_targets(tiny):
+    """Targets matching layers whose call sites never enable LoRA
+    (use_lora=False in models/flux/model.py) must raise: such adapters would
+    get exactly-zero gradients and silently train nothing."""
+    cfg, params = tiny
+    with pytest.raises(ValueError, match="zero gradients"):
+        add_lora(
+            jax.random.key(1), params, r=2,
+            targets=(r"^context_embedder$",), dtype=jnp.float32,
+        )
+    # escape hatch for non-flux trees
+    lp = add_lora(
+        jax.random.key(1), params, r=2,
+        targets=(r"^context_embedder$",), appliable=None, dtype=jnp.float32,
+    )
+    assert "lora_a" in lp["context_embedder"]
