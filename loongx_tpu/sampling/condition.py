@@ -125,16 +125,20 @@ class Condition:
     def get_type_id(condition_type: str) -> int:
         return CONDITION_TYPE_IDS[condition_type]
 
-    def encode(self, pipeline) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def encode(
+        self, pipeline, key=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Encode the condition image -> (tokens [B,S,C*4], ids [S,3],
         type_ids [S,1]) via the pipeline's VAE (reference
-        condition.py:106-138)."""
+        condition.py:106-138).  With ``key`` the latent dist is sampled like
+        the reference's encode_images (pipeline_tools.py:7-30, seeded
+        generator); without it the deterministic mean is used."""
         if self.condition_type not in _IMAGE_CONDITION_TYPES:
             raise NotImplementedError(
                 f"condition type {self.condition_type!r} has no latent encoding"
             )
         img = _to_numpy_image(self.condition)[None]  # [1, H, W, 3]
-        tokens, h, w = pipeline.encode_image_tokens(jnp.asarray(img))
+        tokens, h, w = pipeline.encode_image_tokens(jnp.asarray(img), key=key)
         ids = latent_image_ids(h, w)
         delta = self.position_delta
         if delta is None and self.condition_type == "subject":

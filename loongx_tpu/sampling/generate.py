@@ -128,6 +128,16 @@ def encode_brain_conditions(
     dgf = pipeline.params.get("dgf")
     if enc is None:
         raise RuntimeError("pipeline has no biosignal encoders")
+    needs_dgf = (eeg is not None and ppg is not None) or (
+        fnirs is not None and motion is not None
+    )
+    if needs_dgf and dgf is None:
+        # fail with a named error, not a NoneType subscript inside the jit
+        raise RuntimeError(
+            "pipeline.params has no 'dgf' fusion module but the given "
+            "signal pairs (EEG+PPG / fNIRS+Motion) require pairwise DGF "
+            "fusion (partial checkpoint?)"
+        )
 
     to_arr = lambda x: None if x is None else jnp.asarray(x, pipeline.dtype)
     eeg, fnirs, ppg, motion = map(to_arr, (eeg, fnirs, ppg, motion))
@@ -178,34 +188,111 @@ def generate(
         key = jax.random.key(0 if seed is None else seed)
     k_lat, k_enc = jax.random.split(key)
 
-    # ---- text embeddings ----
-    text_zeroed = False
-    if prompt_embeds is None:
-        # neural_only must be an explicit opt-in (it zeroes missing-tokenizer
-        # text embeds) and is only coherent when brain embeds replace them
-        neural_only = neural_only and use_brain_condition and not fuse_flag
-        # encode_text only zeroes the embeds when the tokenizers are absent;
-        # with tokenizers loaded, real text embeds back any missing brain slot
-        text_zeroed = neural_only and (
-            pipeline.t5_tokenizer is None or pipeline.clip_tokenizer is None
+    if height % (2 * pipeline.vae_cfg.downscale) or width % (
+        2 * pipeline.vae_cfg.downscale
+    ):
+        # fail BEFORE the denoise scan: an odd latent grid only crashes in
+        # unpack_latents after all 28 steps, and a non-multiple silently
+        # floors to a smaller image
+        raise ValueError(
+            f"height/width must be multiples of "
+            f"{2 * pipeline.vae_cfg.downscale} (VAE downscale x 2x2 latent "
+            f"pack), got {height}x{width}"
         )
-        prompt_embeds, pooled_prompt_embeds, txt_ids = pipeline.encode_text(
-            prompt, neural_only=neural_only
-        )
-    else:
-        txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
-    batch = prompt_embeds.shape[0]
 
-    # ---- brain conditions ----
+    # ---- brain conditions (encoded FIRST: in replacement mode they can
+    # fully cover the text slots, making the T5/CLIP encode dead work) ----
+    brain_prompt = brain_pooled = None
     if use_brain_condition:
+        if conditions:
+            # biosignals riding on the Condition object (condition.py fields,
+            # reference condition.py:33-49) serve as defaults for the kwargs
+            c0 = conditions[0]
+            eeg = eeg if eeg is not None else c0.eeg
+            fnirs = fnirs if fnirs is not None else c0.fnirs
+            ppg = ppg if ppg is not None else c0.ppg
+            motion = motion if motion is not None else c0.motion
+        if ppg is not None and eeg is None:
+            print("[generate] WARNING: ppg given without eeg — PPG fuses "
+                  "into the prompt slot only alongside EEG; it is ignored")
+        if motion is not None and fnirs is None:
+            print("[generate] WARNING: motion given without fnirs — Motion "
+                  "fuses into the pooled slot only alongside fNIRS; it is "
+                  "ignored")
         brain_prompt, brain_pooled = encode_brain_conditions(
             pipeline, eeg=eeg, fnirs=fnirs, ppg=ppg, motion=motion
         )
+
+    # ---- text embeddings ----
+    text_zeroed = False
+    if prompt_embeds is None:
+        if neural_only and not (use_brain_condition and not fuse_flag):
+            # neural_only zeroes missing-tokenizer text embeds, which is only
+            # coherent when brain embeds REPLACE them — refuse loudly instead
+            # of silently downgrading into a confusing tokenizer error
+            raise ValueError(
+                "neural_only=True requires use_brain_condition=True and "
+                "fuse_flag=False (brain embeds must replace the zeroed text "
+                f"embeds); got use_brain_condition={use_brain_condition}, "
+                f"fuse_flag={fuse_flag}"
+            )
+        if (
+            not fuse_flag
+            and brain_prompt is not None
+            and brain_pooled is not None
+        ):
+            # replacement mode with both slots covered: the T5/CLIP encode
+            # would be computed and then unconditionally overwritten — skip
+            # it (the reference pays it, generate.py:152-165 then :256-258)
+            prompt_embeds = brain_prompt.astype(pipeline.dtype)
+            pooled_prompt_embeds = brain_pooled.astype(pipeline.dtype)
+            txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+        else:
+            # encode_text only zeroes the embeds when the tokenizers are
+            # absent; with tokenizers loaded, real text embeds back any
+            # missing brain slot
+            text_zeroed = neural_only and (
+                pipeline.t5_tokenizer is None or pipeline.clip_tokenizer is None
+            )
+            prompt_embeds, pooled_prompt_embeds, txt_ids = pipeline.encode_text(
+                prompt, neural_only=neural_only
+            )
+    else:
+        if pooled_prompt_embeds is None:
+            raise ValueError(
+                "prompt_embeds given without pooled_prompt_embeds — both are "
+                "required (pooled feeds the adaLN timestep embedding)"
+            )
+        txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+    batch = prompt_embeds.shape[0]
+
+    # ---- brain fusion / replacement ----
+    if use_brain_condition:
         if fuse_flag:
-            if brain_prompt is not None and brain_pooled is not None:
+            if brain_prompt is None and brain_pooled is not None:
+                raise ValueError(
+                    "fuse_flag=True with fNIRS/Motion but no EEG: neither "
+                    "fusion wiring can fuse a pooled brain embed without a "
+                    "prompt brain embed (models/fusion.py)"
+                )
+            if brain_prompt is not None and brain_pooled is None:
+                if fuse_mode == "infer":
+                    raise ValueError(
+                        "fuse_flag=True with partial brain signals (no "
+                        "fNIRS): the infer fusion wiring needs both slots — "
+                        "provide fnirs or use fuse_mode='train', whose "
+                        "pooled branch is optional"
+                    )
+            if brain_prompt is not None:
+                dgf = pipeline.params.get("dgf")
+                if dgf is None:
+                    raise RuntimeError(
+                        "fuse_flag=True but pipeline.params has no 'dgf' "
+                        "fusion module (partial checkpoint?)"
+                    )
                 fuse_fn = fuse_text_infer if fuse_mode == "infer" else fuse_text_train
                 prompt_embeds, pooled_prompt_embeds = fuse_fn(
-                    pipeline.params["dgf"], prompt_embeds, pooled_prompt_embeds,
+                    dgf, prompt_embeds, pooled_prompt_embeds,
                     brain_prompt, brain_pooled,
                 )
         else:
@@ -307,12 +394,22 @@ def generate(
                     f"running base weights (available: "
                     f"{pipeline.adapters.names()})"
                 )
-        toks, ids, _type_ids = conditions[0].encode(pipeline)
-        cond_tokens = jnp.broadcast_to(
-            toks.astype(pipeline.dtype), (batch,) + toks.shape[1:]
-        )
-        cond_ids = ids
+        if conditions[0].condition is not None:
+            toks, ids, _type_ids = conditions[0].encode(pipeline, key=k_enc)
+            cond_tokens = jnp.broadcast_to(
+                toks.astype(pipeline.dtype), (batch,) + toks.shape[1:]
+            )
+            cond_ids = ids
+        # else: a biosignal-only Condition (e.g. "eeg+fnirs" with no source
+        # image) — its signals were lifted into the brain path above; there
+        # are no latent tokens to attach
     elif cond_tokens is not None:
+        if cond_ids is None:
+            raise ValueError(
+                "cond_tokens given without cond_ids — precomputed condition "
+                "tokens need their RoPE position ids (sampling/condition.py "
+                "latent_image_ids + shift_ids)"
+            )
         cond_tokens = jnp.asarray(cond_tokens, pipeline.dtype)
         if cond_tokens.ndim == 2:
             cond_tokens = jnp.broadcast_to(

@@ -85,6 +85,10 @@ class SampleProbe:
             motion=self.biosignals.get("Motion"),
             use_brain_condition=use_brain,
             fuse_flag=True,
+            # training-path DUAN wiring: the probe renders what the train
+            # step optimizes, and (unlike the infer wiring) it supports the
+            # L-Mind partial-signal samples (fNIRS optional, data.py:81)
+            fuse_mode="train",
             output_type="uint8",
         )
         os.makedirs(self.out_dir, exist_ok=True)

@@ -291,3 +291,99 @@ class TestLatentsValidation:
                 latents=lat, height=16, width=16, num_inference_steps=1,
                 attn_backend="xla",
             )
+
+
+class TestInputValidation:
+    """Fail-fast API-boundary checks (round-3 review findings): each of
+    these previously crashed deep inside the jit trace or after the full
+    denoise scan."""
+
+    def test_odd_height_raises_before_denoise(self, pipe):
+        pe, pool = _embeds(pipe)
+        ds = pipe.vae_cfg.downscale
+        with pytest.raises(ValueError, match="multiples"):
+            generate(
+                pipe, prompt_embeds=pe, pooled_prompt_embeds=pool,
+                height=3 * ds, width=4 * ds, num_inference_steps=1,
+                attn_backend="xla",
+            )
+
+    def test_prompt_embeds_without_pooled_raises(self, pipe):
+        pe, _ = _embeds(pipe)
+        with pytest.raises(ValueError, match="pooled_prompt_embeds"):
+            generate(
+                pipe, prompt_embeds=pe, height=16, width=16,
+                num_inference_steps=1, attn_backend="xla",
+            )
+
+    def test_cond_tokens_without_ids_raises(self, pipe):
+        pe, pool = _embeds(pipe)
+        with pytest.raises(ValueError, match="cond_ids"):
+            generate(
+                pipe, prompt_embeds=pe, pooled_prompt_embeds=pool,
+                cond_tokens=jnp.zeros((4, pipe.flux_cfg.in_channels)),
+                height=16, width=16, num_inference_steps=1,
+                attn_backend="xla",
+            )
+
+    def test_neural_only_without_replacement_raises(self, pipe):
+        with pytest.raises(ValueError, match="neural_only"):
+            generate(
+                pipe, prompt="edit", neural_only=True,
+                use_brain_condition=False,
+                height=16, width=16, num_inference_steps=1,
+                attn_backend="xla",
+            )
+
+    def test_biosignal_only_condition_lifts_signals(self, monkeypatch):
+        """Condition('eeg+fnirs', eeg=..., fnirs=...) without an image must
+        route the signals into the brain path instead of crashing in
+        Condition.encode (NotImplementedError)."""
+        import importlib
+
+        gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+        pipe = LoongXPipeline.tiny(jax.random.key(0))
+        seen = {}
+
+        def fake_encode(pipeline, eeg=None, fnirs=None, ppg=None,
+                        motion=None, s4_mode="conv"):
+            seen.update(eeg=eeg, fnirs=fnirs)
+            bp = jnp.ones((1, 8, pipe.flux_cfg.joint_dim), jnp.float32)
+            bpool = jnp.ones((1, pipe.flux_cfg.pooled_dim), jnp.float32)
+            return bp, bpool
+
+        monkeypatch.setattr(gen_mod, "encode_brain_conditions", fake_encode)
+        pipe.params["encoders"] = {}
+        cond = Condition(
+            "eeg+fnirs",
+            eeg=np.zeros((1, 4, 16), np.float32),
+            fnirs=np.ones((1, 6, 16), np.float32),
+        )
+        out = gen_mod.generate(
+            pipe, conditions=[cond], use_brain_condition=True,
+            fuse_flag=False, neural_only=True,
+            height=16, width=16, num_inference_steps=1,
+            attn_backend="xla", output_type="latent",
+        )
+        assert seen["eeg"] is not None and seen["fnirs"] is not None
+        assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+    def test_fuse_partial_infer_mode_raises(self, monkeypatch):
+        import importlib
+
+        gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+        pipe = LoongXPipeline.tiny(jax.random.key(0))
+        bp = jnp.ones((1, 8, pipe.flux_cfg.joint_dim), jnp.float32)
+        monkeypatch.setattr(
+            gen_mod, "encode_brain_conditions", lambda *a, **k: (bp, None)
+        )
+        pipe.params["encoders"] = {}
+        pe, pool = _embeds(pipe)
+        with pytest.raises(ValueError, match="fuse_mode='train'"):
+            gen_mod.generate(
+                pipe, prompt_embeds=pe, pooled_prompt_embeds=pool,
+                use_brain_condition=True, fuse_flag=True,
+                eeg=np.zeros((1, 4, 16), np.float32),
+                height=16, width=16, num_inference_steps=1,
+                attn_backend="xla",
+            )
