@@ -101,7 +101,9 @@ class TrainConfig:
     save_interval: int = 1000
     save_path: str = "runs"
     gradient_clip_val: float = 0.5
-    condition_type: str = "eeg+fnirs"
+    # the reference's SEED configs use "subject" for the source-image
+    # condition (seed_512.yaml:19); biosignals ride separately
+    condition_type: str = "subject"
     dataset: DatasetConfig = field(default_factory=DatasetConfig)
     dataloader_workers: int = 2
     lora_config: LoraConfig = field(default_factory=LoraConfig)

@@ -46,16 +46,30 @@ def iterate_batches(
     drop_last: bool = True,
     host_id: int = 0,
     num_hosts: int = 1,
+    skip_batches: int = 0,
 ) -> Iterator[Dict[str, Any]]:
     """Yield collated host batches; samples are fetched by a thread pool.
 
     Multi-host: pass (jax.process_index(), jax.process_count()) — every host
     draws the same shuffled order (same seed) and takes its interleaved
     slice, so global batches partition the dataset without coordination.
+
+    ``skip_batches`` fast-forwards past already-consumed batches (resume):
+    the permutation stream advances identically but no samples are fetched.
     """
     n = len(dataset)
+    per_host = len(range(host_id, n, num_hosts))
+    if drop_last and per_host < batch_size:
+        # every epoch's only batch would be dropped — the iterator would
+        # spin forever yielding nothing and the consumer would hang
+        raise ValueError(
+            f"dataset slice for host {host_id}/{num_hosts} has {per_host} "
+            f"samples < batch_size={batch_size} with drop_last=True: no "
+            "batch can ever be formed"
+        )
     rng = np.random.default_rng(seed)  # same stream on every host
     epoch = 0
+    skipped = 0
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
         while epochs is None or epoch < epochs:
             order = rng.permutation(n) if shuffle else np.arange(n)
@@ -63,6 +77,9 @@ def iterate_batches(
             for start in range(0, len(order), batch_size):
                 idx = order[start : start + batch_size]
                 if len(idx) < batch_size and drop_last:
+                    continue
+                if skipped < skip_batches:
+                    skipped += 1
                     continue
                 samples = list(pool.map(dataset.__getitem__, idx.tolist()))
                 yield _collate(samples)
@@ -72,27 +89,56 @@ def iterate_batches(
 def background_iter(gen: Iterator, depth: int = 1) -> Iterator:
     """Run any iterator in a background thread with a bounded queue —
     overlaps its work (host decode, device_put, jitted prepare) with the
-    consumer.  Producer exceptions re-raise in the consumer."""
+    consumer.  Producer exceptions re-raise in the consumer.
+
+    When the consumer stops early (train loop break at max_steps, generator
+    close), the producer is signalled to stop instead of preparing further
+    batches and blocking on the full queue forever — which would pin a
+    prepared device batch (and one thread) per train() call for the process
+    lifetime."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _DONE = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in gen:
-                q.put(item)
-        except BaseException as exc:
-            q.put(exc)
+                if not _put(item):
+                    return
+        except BaseException as exc:  # re-raised in the consumer
+            _put(exc)
         finally:
-            q.put(_DONE)
+            try:
+                q.put_nowait(_DONE)
+            except queue.Full:
+                pass
 
     threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _DONE:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a producer blocked mid-put wakes and exits
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def prefetch_to_device(

@@ -39,6 +39,11 @@ CONDITION_TYPE_IDS = {
 _IMAGE_CONDITION_TYPES = (
     "depth", "canny", "subject", "coloring", "deblurring", "depth_pred",
     "fill", "sr", "cartoon",
+    # SEED editing: the SOURCE image is the spatial condition (type id 12);
+    # the reference encodes it to latent tokens like any other condition
+    # image (condition.py:106-138, SeedDataset data.py:78-97) while the
+    # biosignals ride separately through the CS3 encoders
+    "eeg+fnirs",
 )
 
 

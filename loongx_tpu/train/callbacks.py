@@ -98,6 +98,12 @@ class TrainingCallback:
     def save_checkpoint(self, step: int, state):
         if state is None:
             return
+        if getattr(self, "_last_saved_step", None) == step:
+            # the final save after the loop can coincide with an interval
+            # save of the same step — orbax refuses to overwrite an existing
+            # step directory, which would crash train() at the very end
+            return
+        self._last_saved_step = step
         from loongx_tpu.utils.checkpoint import (
             save_lora_safetensors, save_train_checkpoint,
         )

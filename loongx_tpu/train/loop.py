@@ -72,9 +72,16 @@ def train(
     mask = trainable_mask(pipeline.params)
     trainable, frozen = partition(pipeline.params, mask)
 
+    accum = max(1, tcfg.accumulate_grad_batches)
+    # clip INSIDE MultiSteps: the reference (Lightning gradient_clip_val)
+    # clips the ACCUMULATED gradient once per optimizer step; chaining the
+    # clip outside would clip each micro-gradient before averaging
     optimizer = optax.MultiSteps(
-        build_optimizer(tcfg.optimizer),
-        every_k_schedule=max(1, tcfg.accumulate_grad_batches),
+        optax.chain(
+            optax.clip_by_global_norm(tcfg.gradient_clip_val),
+            build_optimizer(tcfg.optimizer),
+        ),
+        every_k_schedule=accum,
     )
     init_fn, step_fn = make_train_step(
         pipeline.flux_cfg,
@@ -83,7 +90,7 @@ def train(
         use_brain_condition=(tcfg.dataset.type.lower() == "seed"),
         fuse_flag=True,
         remat=tcfg.gradient_checkpointing,
-        grad_clip=tcfg.gradient_clip_val,
+        grad_clip=None,  # clipping lives inside the MultiSteps chain above
         dtype=pipeline.dtype,
     )
     state = init_fn(trainable)
@@ -152,6 +159,13 @@ def train(
                                ("ppg", "ppg"), ("motion", "motion"))
                 if probe_sample.get(k) is not None
             }
+            if biosig and "encoders" not in pipeline.params:
+                # a dataset that carries biosignals but a pipeline without
+                # CS3 encoders (spatial-control configs) — probing with the
+                # signals would fail at every interval
+                print("[train] probe: pipeline has no biosignal encoders — "
+                      "probing without the sample's signals")
+                biosig = {}
             latest = {"state": state}  # updated each step below
             sample_fn = SampleProbe(
                 pipeline,
@@ -179,17 +193,29 @@ def train(
         fingerprint=fingerprint,
     )
 
-    total = max_steps or tcfg.max_steps
+    # max_steps counts OPTIMIZER steps like the reference's Lightning
+    # Trainer(max_steps=..., accumulate_grad_batches=...): with accumulation
+    # the loop runs max_steps * accum micro-batches
+    total = tcfg.max_steps if max_steps is None else max_steps
     if total is None or total < 0:  # reference: max_steps -1 == unlimited
         total = float("inf")
+    total_micro = total * accum
+    start_micro = start_step * accum
+    # resume: decorrelate the noise/timestep stream from the consumed prefix
+    # (restarting key(seed) would replay the exact draws of steps 0..start)
     key = jax.random.key(tcfg.seed)
+    if start_step:
+        key = jax.random.fold_in(key, start_step)
     t0 = time.time()
-    step = start_step
+    micro = start_micro
     metrics = {}
     batches = iterate_batches(
         dataset, tcfg.batch_size, seed=tcfg.seed,
         num_workers=tcfg.dataloader_workers,
         host_id=jax.process_index(), num_hosts=jax.process_count(),
+        # fast-forward past the batches a resumed run already consumed so
+        # the data order continues instead of replaying from epoch 0
+        skip_batches=start_micro,
     )
 
     def device_batches():
@@ -205,17 +231,22 @@ def train(
     # one-deep lookahead: the next batch's decode + frozen-encoder pass
     # overlaps the current train step
     for batch in background_iter(device_batches(), depth=1):
-        if step >= total:
+        if micro >= total_micro:
             break
         key, sub = jax.random.split(key)
         state, metrics = step_jit(state, frozen, batch, sub)
         if sample_fn is not None:
             latest["state"] = state
-        step += 1
-        callback.on_step_end(step, metrics, state)
+        micro += 1
+        if micro % accum == 0:
+            # callbacks fire per OPTIMIZER step (Lightning global_step):
+            # save_interval / sample_interval / wandb "steps" all count them
+            callback.on_step_end(micro // accum, metrics, state)
+    step = micro // accum
     wall = time.time() - t0
-    print(f"[train] {step - start_step} steps in {wall:.1f}s "
-          f"({(step - start_step) / max(wall, 1e-9):.2f} steps/s)")
+    print(f"[train] {step - start_step} optimizer steps "
+          f"({micro - start_micro} micro-batches) in {wall:.1f}s "
+          f"({(micro - start_micro) / max(wall, 1e-9):.2f} micro-steps/s)")
     callback.save_checkpoint(step, state)
     return {"steps": step, "wall_s": wall,
             "final_loss": float(metrics.get("loss", np.nan)) if metrics else None}

@@ -55,9 +55,14 @@ class SampleProbe:
 
         pipeline = self.pipeline
         if self.trainable_view is not None:
+            # the trainable tree is either the full pipeline partition (the
+            # train loop's wiring — pair it with the full frozen params) or a
+            # bare flux tree (pair with params['flux'] and re-wrap)
             trainable = self.trainable_view()
-            merged = combine(trainable, {"flux": pipeline.params["flux"]}
-                             if "flux" in trainable else pipeline.params)
+            if "flux" in trainable:
+                merged = combine(trainable, pipeline.params)
+            else:
+                merged = {"flux": combine(trainable, pipeline.params["flux"])}
             pipeline = type(pipeline)(
                 **{**pipeline.__dict__, "params": {**pipeline.params, **merged}}
             )

@@ -184,7 +184,14 @@ def make_train_step(
     gradient_clip_val=0.5 (train.py:184).
     """
     flags = dict(flags or {})
-    tx = optax.chain(optax.clip_by_global_norm(grad_clip), optimizer)
+    # grad_clip=None/0 means the caller already handles clipping (e.g. the
+    # train loop clips inside its MultiSteps chain so the ACCUMULATED
+    # gradient is clipped once, matching Lightning's gradient_clip_val)
+    tx = (
+        optax.chain(optax.clip_by_global_norm(grad_clip), optimizer)
+        if grad_clip
+        else optimizer
+    )
 
     def init_fn(trainable) -> TrainState:
         return TrainState(

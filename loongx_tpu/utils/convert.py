@@ -182,20 +182,35 @@ def convert_reference_lora(
     factors (delta 0).  Returns a new tree with lora leaves set."""
     import re as _re
 
-    # collect (tree_path, idx) -> (a, b)
+    # collect (tree_path, idx) -> (a, b).  Key layouts accepted:
+    # 'transformer.<module>.lora_A.weight' (FluxPipeline.save_lora_weights),
+    # raw peft 'base_model.model.<module>.lora_A.weight', and adapter-named
+    # 'lora_A.<adapter>.weight' forms.
     grouped: Dict[str, Dict[int, Dict[str, np.ndarray]]] = {}
+    lora_like = 0
     for key, val in state.items():
-        m = _re.match(r"(.*)\.lora_([AB])\.weight$", key)
+        m = _re.match(r"(.*)\.lora_([AB])(?:\.[^.]+)?\.weight$", key)
         if not m:
             continue
-        path, idx = _our_lora_path(m.group(1))
+        lora_like += 1
+        module = m.group(1).removeprefix("base_model.model.")
+        path, idx = _our_lora_path(module)
         if path is None:
             continue
         grouped.setdefault(path, {}).setdefault(
             -1 if idx is None else idx, {}
         )[m.group(2)] = val
+    if lora_like and not grouped:
+        sample = [k for k in state if ".lora_" in k][:3]
+        raise ValueError(
+            f"checkpoint contains {lora_like} LoRA tensors but none map onto "
+            f"a known flux module layout (sample keys: {sample}) — returning "
+            "the base weights silently would serve an un-adapted model"
+        )
 
     import jax as _jax
+
+    from loongx_tpu.train.lora import load_lora_state_dict
 
     params = _jax.tree.map(lambda x: x, flux_params)  # rebuild containers
 
@@ -205,58 +220,34 @@ def convert_reference_lora(
             node = node[part]
         return node
 
+    # Assemble stacked factors per path and delegate the rest (the serving
+    # proj_out K-split routing, kernel-dim validation, scale defaulting) to
+    # train.lora.load_lora_state_dict — ONE implementation of that logic.
+    flat: Dict[str, Any] = {}
     for path, by_idx in grouped.items():
         sample = next(iter(by_idx.values()))
         r = sample["A"].shape[0]
         a_rows = sample["A"].shape[1]
-        targets = [(find(params, path), 0, None)]
-        kernel = targets[0][0].get("kernel", targets[0][0].get("kernel_q"))
-        d_in = kernel.shape[-2]
-        if a_rows != d_in and path.endswith("proj_out"):
-            # serving tree carries the proj_out K-split
-            # (ops/quant.split_single_proj_out): route the fused factor's
-            # rows onto the two parts — exact, the forward accumulates both
-            # gated partial deltas (model.py single_block_forward)
-            try:
-                mlp_target = find(params, path + "_mlp")
-            except KeyError:
-                mlp_target = None
-            mlp_kernel = (
-                (mlp_target or {}).get("kernel")
-                if mlp_target is not None
-                else None
+        b_cols = sample["B"].shape[0]
+        kernel = find(params, path)
+        kernel = kernel.get("kernel", kernel.get("kernel_q"))
+        if kernel.ndim == 3:  # scan-stacked block family
+            n_blocks = kernel.shape[0]
+            a = np.zeros((n_blocks, a_rows, r), np.float32)
+            b = np.zeros((n_blocks, r, b_cols), np.float32)
+            for idx, ab in by_idx.items():
+                a[idx] = ab["A"].T
+                b[idx] = ab["B"].T
+            flat[f"{path}/lora_scale"] = jnp.full(
+                (n_blocks,), scale, jnp.float32
             )
-            if mlp_target is not None and mlp_kernel is None:
-                mlp_kernel = mlp_target.get("kernel_q")
-            if (
-                mlp_kernel is not None
-                and d_in + mlp_kernel.shape[-2] == a_rows
-            ):
-                targets = [
-                    (targets[0][0], 0, d_in),
-                    (mlp_target, d_in, None),
-                ]
-        for target, row0, row1 in targets:
-            kernel = target.get("kernel", target.get("kernel_q"))
-            *stack, d_in, d_out = kernel.shape
-            if stack:  # scan-stacked block family
-                n_blocks = stack[0]
-                a = np.zeros((n_blocks, d_in, r), np.float32)
-                b = np.zeros((n_blocks, r, d_out), np.float32)
-                for idx, ab in by_idx.items():
-                    a[idx] = ab["A"].T[row0:row1]
-                    b[idx] = ab["B"].T
-                target["lora_scale"] = jnp.full(
-                    (n_blocks,), scale, jnp.float32
-                )
-            else:
-                ab = by_idx.get(-1) or next(iter(by_idx.values()))
-                a = ab["A"].T[row0:row1]
-                b = ab["B"].T
-                target["lora_scale"] = jnp.asarray(scale, jnp.float32)
-            target["lora_a"] = jnp.asarray(a, dtype)
-            target["lora_b"] = jnp.asarray(b, dtype)
-    return params
+        else:
+            ab = by_idx.get(-1) or next(iter(by_idx.values()))
+            a, b = ab["A"].T, ab["B"].T
+            flat[f"{path}/lora_scale"] = jnp.asarray(scale, jnp.float32)
+        flat[f"{path}/lora_a"] = jnp.asarray(a, dtype)
+        flat[f"{path}/lora_b"] = jnp.asarray(b, dtype)
+    return load_lora_state_dict(params, flat, strict_shapes=False)
 
 
 # ---------------------------------------------------------------------------

@@ -417,3 +417,65 @@ class TestMultiHostLoader:
         assert sorted(seen) == sorted(
             ds[i]["description"] for i in range(4)
         )
+
+
+class TestLoaderGuards:
+    def test_tiny_dataset_raises_instead_of_hanging(self, seed_corpus):
+        from loongx_tpu.data import SeedDataset
+        from loongx_tpu.data.loader import iterate_batches
+
+        jsonl, root = seed_corpus
+        ds = SeedDataset(jsonl, image_dir=root, image_size=16)
+        with pytest.raises(ValueError, match="drop_last"):
+            next(iterate_batches(ds, batch_size=len(ds) + 1, num_workers=1))
+
+    def test_skip_batches_continues_order(self, seed_corpus):
+        from loongx_tpu.data import SeedDataset
+        from loongx_tpu.data.loader import iterate_batches
+
+        jsonl, root = seed_corpus
+        ds = SeedDataset(jsonl, image_dir=root, image_size=16)
+        full = [
+            b["description"]
+            for b in iterate_batches(
+                ds, batch_size=1, num_workers=1, epochs=2, seed=5
+            )
+        ]
+        resumed = [
+            b["description"]
+            for b in iterate_batches(
+                ds, batch_size=1, num_workers=1, epochs=2, seed=5,
+                skip_batches=3,
+            )
+        ]
+        assert resumed == full[3:]
+
+    def test_background_iter_early_close_stops_producer(self):
+        import threading
+        import time as _time
+
+        from loongx_tpu.data.loader import background_iter
+
+        produced = []
+
+        def gen():
+            for i in range(10_000):
+                produced.append(i)
+                yield i
+
+        it = background_iter(gen(), depth=1)
+        for i, _ in enumerate(it):
+            if i >= 2:
+                break
+        it.close()  # consumer stops early (train loop break)
+        n_after_close = len(produced)
+        deadline = _time.time() + 2.0
+        # the producer must stop within the 0.1s put timeout, not run to
+        # 10000 or block forever holding a prepared batch
+        while _time.time() < deadline:
+            _time.sleep(0.2)
+            if len(produced) == n_after_close:
+                break
+            n_after_close = len(produced)
+        assert len(produced) < 100
+        assert threading.active_count() < 50

@@ -118,3 +118,39 @@ def test_convert_onto_split_proj_out(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5,
     )
+
+
+def test_unrecognized_lora_layout_raises():
+    """A checkpoint full of LoRA tensors that map onto no known flux module
+    must raise instead of silently returning the base weights (serving an
+    un-adapted model the user believes is adapted)."""
+    import pytest
+
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    state = {
+        "some.unknown.layout.lora_A.weight": np.zeros((2, 4), np.float32),
+        "some.unknown.layout.lora_B.weight": np.zeros((4, 2), np.float32),
+    }
+    with pytest.raises(ValueError, match="none map"):
+        convert_reference_lora(state, params, cfg)
+
+
+def test_peft_prefix_and_adapter_named_keys():
+    """Raw peft layouts ('base_model.model.' prefix, 'lora_A.default.weight'
+    adapter naming) load like the FluxPipeline.save_lora_weights layout."""
+    cfg = FluxConfig.tiny()
+    params = init_flux_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    h, r = cfg.hidden, 2
+    state = {
+        "base_model.model.transformer_blocks.0.attn.to_q"
+        ".lora_A.default.weight": rng.randn(r, h).astype(np.float32),
+        "base_model.model.transformer_blocks.0.attn.to_q"
+        ".lora_B.default.weight": rng.randn(h, r).astype(np.float32),
+    }
+    lp = convert_reference_lora(state, params, cfg, dtype=jnp.float32)
+    blk = lp["double_blocks"]["attn"]["to_q"]
+    assert blk["lora_a"].shape == (cfg.num_double_blocks, h, r)
+    assert float(jnp.abs(blk["lora_a"][0]).sum()) > 0
+    assert float(jnp.abs(blk["lora_a"][1]).sum()) == 0  # missing block -> 0

@@ -40,3 +40,32 @@ def test_probe_fixed_seed_reproducible(tmp_path):
     a = np.asarray(Image.open(p1))
     b = np.asarray(Image.open(p2))
     np.testing.assert_array_equal(a, b)
+
+
+def test_probe_with_partitioned_trainable_view(tmp_path):
+    """The train loop hands the probe the FULL pipeline partition (None
+    leaves on frozen params); the probe must recombine it with the full
+    frozen tree (regression: the branch was inverted and every in-training
+    probe raised a dict-key mismatch, silently producing no images)."""
+    import jax.numpy as jnp
+
+    from loongx_tpu.train.lora import add_lora
+    from loongx_tpu.train.step import partition, trainable_mask
+
+    pipe = LoongXPipeline.tiny(jax.random.key(0))
+    pipe.params["flux"] = add_lora(
+        jax.random.key(1), pipe.params["flux"], r=2, dtype=jnp.float32
+    )
+    mask = trainable_mask(pipe.params)
+    trainable, _frozen = partition(pipe.params, mask)
+    probe = SampleProbe(
+        pipe,
+        condition_type="subject",
+        probe_image=np.zeros((16, 16, 3), np.float32),
+        out_dir=str(tmp_path),
+        num_steps=1,
+        size=16,
+        trainable_view=lambda: trainable,
+    )
+    path = probe(step=7)
+    assert os.path.exists(path)
