@@ -23,8 +23,7 @@ upstream crash deliberately.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,13 +49,25 @@ CHANNELS = {"eeg": 4, "fnirs": 6, "ppg": 4, "motion": 6}
 
 
 def canonicalise_signal(x: jnp.ndarray, modality: str) -> jnp.ndarray:
-    """Accept [B, C, L], [C, L], or [B, C*L] and return [B, C, L_fixed]."""
+    """Accept [B, C, L], [C, L], or [B, C*L] and return [B, C, L_fixed].
+
+    CAUTION — the 2-D layouts are ambiguous when a batch of flattened
+    signals happens to have B == C (e.g. 4 flattened EEG rows [4, C*L]):
+    the [C, L] single-sample reading wins whenever the leading dim equals
+    the modality's channel count, because single raw recordings [C, L_any]
+    are the common call and a flattened batch cannot be told apart by
+    shape.  Pass the explicit [B, C, L] layout for batches."""
     c = CHANNELS[modality]
     fixed = FIXED_LENGTHS[modality]
     if x.ndim == 2:
-        if x.shape[0] == c:  # [C, L] -> add batch
+        if x.shape[0] == c:  # [C, L] -> add batch (see CAUTION above)
             x = x[None]
         else:  # [B, C*L] flattened (reference generate.py:215-231 path)
+            if x.shape[1] % c != 0:
+                raise ValueError(
+                    f"cannot interpret {modality} signal of shape {x.shape}: "
+                    f"neither [C={c}, L] nor [B, C*L]"
+                )
             x = x.reshape(x.shape[0], c, -1)
     return spatial_pyramid_pooling(x, fixed)
 
@@ -98,7 +109,7 @@ def init_eeg_encoder(key, dtype=jnp.bfloat16) -> Params:
         # wide S4: d_model 64, pooled to 4 per-channel features
         "s4_wide": init_s4_stack(ks[0], 4, 64, 64, n_blocks=2, n_state=64),
         # narrow S4: d_model 4, pooled to 64
-        "s4_narrow": init_s4_stack(ks[1], 4, 4, 4, n_blocks=2, n_state=8),
+        "s4_narrow": init_s4_stack(ks[1], 4, 4, 4, n_blocks=2, n_state=4),
         "proj": _mlp_ln_relu(ks[2], [4 * 4096, 2048, 4096], dtype),
         "token_proj": init_linear(ks[3], 8, 4096, dtype=dtype),
     }
@@ -137,7 +148,7 @@ def eeg_encode(
 def init_ppg_encoder(key, dtype=jnp.bfloat16) -> Params:
     ks = jax.random.split(key, 4)
     return {
-        "s4": init_s4_stack(ks[0], 4, 4, 4, n_blocks=2, n_state=8),
+        "s4": init_s4_stack(ks[0], 4, 4, 4, n_blocks=2, n_state=4),
         "proj": _mlp_ln_relu(ks[1], [4 * 16 + 448 * 4, 1024, 4096], dtype),
         "token_proj": init_linear(ks[2], 8, 4096, dtype=dtype),
     }
@@ -165,7 +176,7 @@ def ppg_encode(
 def init_fnirs_encoder(key, dtype=jnp.bfloat16) -> Params:
     ks = jax.random.split(key, 2)
     return {
-        "s4": init_s4_stack(ks[0], 6, 6, 6, n_blocks=2, n_state=8),
+        "s4": init_s4_stack(ks[0], 6, 6, 6, n_blocks=2, n_state=6),
         "proj": _mlp_ln_relu(ks[1], [6 * 32 + 832 * 6, 1024, 768], dtype),
     }
 
@@ -191,7 +202,7 @@ def fnirs_encode(
 def init_motion_encoder(key, dtype=jnp.bfloat16) -> Params:
     ks = jax.random.split(key, 2)
     return {
-        "s4": init_s4_stack(ks[0], 6, 6, 6, n_blocks=2, n_state=8),
+        "s4": init_s4_stack(ks[0], 6, 6, 6, n_blocks=2, n_state=6),
         "proj": _mlp_ln_relu(ks[1], [6 * 6 + 220 * 6, 512, 768], dtype),
     }
 

@@ -10,10 +10,10 @@ TPU-native re-implementation of the reference's DUAN module and fusion path
   4. dynamic top-k channel mask (keep_ratio of channels by mean |y|).
 
 All statistics run in float32 (the reference casts to .float() too,
-model.py:995).  The top-k mask uses a straight-through gradient: forward
-masks hard, backward passes gradients through unmasked (the reference's
-scatter of constants has zero gradient to the mask — we keep the same
-forward semantics).
+model.py:995).  The top-k mask is hard on BOTH passes: masked channels get
+exactly-zero gradients, matching the reference's scatter of constants
+(model.py:1026-1033) — the mask itself is stop-gradiented so no gradient
+flows through the importance ranking.
 
 The fusion wiring has a documented train/infer asymmetry in the reference
 (SURVEY.md §2b): training fuses DUAN output through concat+linear+residual
@@ -25,7 +25,7 @@ choice rather than an accident.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,11 +92,18 @@ def duan_apply(
     gamma, beta = jnp.split(gb, 2, axis=-1)  # [B, C] each
     y = (1.0 + gamma[:, :, None]) * x_hat + beta[:, :, None]
 
-    # 4. dynamic top-k channel mask (hard forward, straight-through backward)
+    # 4. dynamic top-k channel mask — EXACTLY k channels kept like the
+    # reference's torch.topk scatter (model.py:1026-1033; a >=threshold test
+    # would keep every tied channel).  Hard mask on both passes: masked
+    # channels get zero gradient, same as the reference.
     imp = jnp.mean(jnp.abs(y), axis=2)  # [B, C]
     k = max(1, int(ch * keep_ratio))
-    kth = jax.lax.top_k(imp, k)[0][:, -1]  # [B] threshold value
-    mask = (imp >= kth[:, None]).astype(y.dtype)  # [B, C]
+    _, top_idx = jax.lax.top_k(imp, k)  # [B, k] channel indices
+    mask = (
+        jnp.zeros((imp.shape[0], ch), y.dtype)
+        .at[jnp.arange(imp.shape[0])[:, None], top_idx]
+        .set(1.0)
+    )
     y = y * jax.lax.stop_gradient(mask)[:, :, None]
 
     return y.astype(orig_dtype)

@@ -23,12 +23,13 @@ model.py:77-81); inputs/outputs cast to the surrounding dtype.
 from __future__ import annotations
 
 import math
-from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from loongx_tpu.ops.nn import Params, init_linear, layer_norm, init_layer_norm
+from loongx_tpu.ops.nn import (
+    Params, init_layer_norm, init_linear, layer_norm, linear,
+)
 
 
 def init_s4d_layer(
@@ -193,8 +194,6 @@ def s4_stack_apply(
     associative scan), or "pallas" (in-VMEM recurrence kernel,
     ops/s4_pallas.py — constant memory in L, the streaming/serving form).
     """
-    from loongx_tpu.ops.nn import linear
-
     if mode == "pallas":
         from loongx_tpu.ops.s4_pallas import s4d_scan_pallas
 

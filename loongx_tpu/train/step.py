@@ -105,20 +105,30 @@ def flow_match_loss(
 
     if use_brain_condition and "eeg" in batch:
         enc, dgf = params["encoders"], params["dgf"]
-        eeg_feat = eeg_encode(enc["eeg"], batch["eeg"].astype(dtype))
+        # rng wired through => the encoders' 0.3 dropout is ACTIVE during
+        # training, matching the reference's nn.Dropout(0.3) regime
+        ke, kp, kf, km = jax.random.split(k_drop, 4)
+        eeg_feat = eeg_encode(enc["eeg"], batch["eeg"].astype(dtype), rng=ke)
         brain_prompt = (
-            fuse_eeg_ppg(dgf, eeg_feat, ppg_encode(enc["ppg"], batch["ppg"].astype(dtype)))
+            fuse_eeg_ppg(
+                dgf, eeg_feat,
+                ppg_encode(enc["ppg"], batch["ppg"].astype(dtype), rng=kp),
+            )
             if "ppg" in batch else eeg_feat
         )
         # fNIRS may be absent per-sample (the reference guards 'FNIRS' in
         # bio_data, data.py:81); without it the pooled embeds stay textual
         brain_pooled = None
         if "fnirs" in batch:
-            fnirs_feat = fnirs_encode(enc["fnirs"], batch["fnirs"].astype(dtype))
+            fnirs_feat = fnirs_encode(
+                enc["fnirs"], batch["fnirs"].astype(dtype), rng=kf
+            )
             brain_pooled = (
                 fuse_fnirs_motion(
                     dgf, fnirs_feat,
-                    motion_encode(enc["motion"], batch["motion"].astype(dtype)),
+                    motion_encode(
+                        enc["motion"], batch["motion"].astype(dtype), rng=km
+                    ),
                 )
                 if "motion" in batch else fnirs_feat
             )

@@ -85,7 +85,18 @@ class TestDUAN:
         c = jax.random.normal(jax.random.key(2), (1, 10, 8))
         y = duan_apply(p, x, c, keep_ratio=0.5)
         per_channel = np.abs(np.asarray(y))[0].sum(axis=1)
-        assert (per_channel == 0).sum() >= 4  # ~half masked (ties may keep more)
+        assert (per_channel == 0).sum() == 5  # exactly C - k masked
+
+    def test_topk_exact_k_on_ties(self):
+        """Tied importances keep EXACTLY k channels like the reference's
+        torch.topk scatter (a >= threshold test would keep every tie —
+        with constant channels nothing would ever be masked)."""
+        p = init_duan(jax.random.key(0), channels=8)
+        x = jnp.ones((1, 8, 4))  # every channel identical -> all imp tied
+        c = jnp.zeros((1, 8, 4))
+        y = duan_apply(p, x, c, keep_ratio=0.5)
+        per_channel = np.abs(np.asarray(y))[0].sum(axis=1)
+        assert (per_channel != 0).sum() <= 4
 
     def test_keep_ratio_one_keeps_all(self):
         p = init_duan(jax.random.key(0), channels=8)
@@ -152,3 +163,31 @@ class TestDGF:
             ).jaxpr.eqns
         )
         assert n_none < n_full
+
+
+def test_encoder_dropout_active_with_rng():
+    """rng => the 0.3 dropout in the projection MLPs actually fires (the
+    reference trains with nn.Dropout(0.3); round-3 regression: the train
+    step split a dropout key but never passed it)."""
+    from loongx_tpu.models.encoders import init_ppg_encoder, ppg_encode
+
+    p = init_ppg_encoder(jax.random.key(0), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (2, 4, 256))
+    base = ppg_encode(p, x)
+    dropped = ppg_encode(p, x, rng=jax.random.key(2))
+    assert not np.allclose(np.asarray(base), np.asarray(dropped))
+    # deterministic given the key
+    dropped2 = ppg_encode(p, x, rng=jax.random.key(2))
+    np.testing.assert_array_equal(np.asarray(dropped), np.asarray(dropped2))
+
+
+def test_train_step_wires_dropout_rng():
+    """flow_match_loss must produce DIFFERENT losses for different keys even
+    with t/noise keys pinned — i.e. the encoder dropout key is actually
+    consumed (it was dead in round 2)."""
+    import inspect
+
+    from loongx_tpu.train import step as step_mod
+
+    src = inspect.getsource(step_mod.flow_match_loss)
+    assert "rng=" in src and "k_drop" in src
