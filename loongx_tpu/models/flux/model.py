@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -200,6 +201,17 @@ def init_flux_params(
 # ---------------------------------------------------------------------------
 
 
+def _env_knob(name: str, default: str = "0") -> str:
+    """Read a serving/test env knob (LOONGX_STACKED_QMM, LOONGX_FUSE_LN,
+    LOONGX_FUSE_GATE).  Call sites inside the model forward capture the value
+    at TRACE time: it is baked into the compiled executable and is NOT part
+    of the jit cache key, so flip these knobs only at process start (the
+    bench/CLI entry points set them before building any jit) or clear the
+    jax caches after changing them — a mid-process flip is silently ignored
+    for already-compiled shapes."""
+    return os.environ.get(name, default)
+
+
 def _use_pallas_qmm(p: Params) -> bool:
     """Route an int8-quantized linear through the Pallas quant-matmul kernel?
     Requires TPU, an unstacked [K, N] weight, and no tensor parallelism:
@@ -228,12 +240,10 @@ def _use_stacked_qmm(block_tree: Params) -> bool:
     kernels into standalone buffers every iteration (~210 MB of pure copy
     per transformer call at full-dev).  Same gating as `_use_pallas_qmm`;
     LOONGX_STACKED_QMM=0/1 overrides (1 exercises the interpret-mode kernels
-    in CPU tests)."""
-    import os
-
+    in CPU tests; trace-time capture — see `_env_knob`)."""
     from loongx_tpu.parallel.mesh import current_tp
 
-    mode = os.environ.get("LOONGX_STACKED_QMM", "auto")
+    mode = _env_knob("LOONGX_STACKED_QMM", "auto")
     if mode == "0":
         return False
 
@@ -408,14 +418,10 @@ def linear_gelu(
                 ).reshape(*lead, -1).astype(x.dtype)
             from loongx_tpu.ops.quant_matmul import quant_linear_gelu_stacked
 
-            bias3 = (
-                p["bias"].astype(jnp.float32).reshape(nb, 1, n)
-                if "bias" in p else jnp.zeros((nb, 1, n), jnp.float32)
-            )
             return quant_linear_gelu_stacked(
                 x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
-                p["kernel_q"], p["kernel_scale"].reshape(nb, 1, n), bias3,
-                p["_blk"],
+                p["kernel_q"], p["kernel_scale"].reshape(nb, 1, n),
+                _bias3(p), p["_blk"],
             ).reshape(*lead, -1).astype(x.dtype)
         if _use_pallas_qmm(p) and not (use_lora and "lora_a" in p):
             from loongx_tpu.ops.quant_matmul import quant_linear_gelu
@@ -509,15 +515,13 @@ def _qkv(
     else:  # context ("added") projections — never LoRA-targeted
         fused = attn.get("add_qkv_proj")
         nq, nk = attn["norm_added_q"], attn["norm_added_k"]
-    import os
-
     fused_ok = fused is not None and (
         _is_stacked_q(fused)
         or ("_blk" in fused and fused["kernel_q"].ndim == 4)
     )
     ln_in_kernel = (
         fused_ok and x.shape[0] == 1
-        and os.environ.get("LOONGX_FUSE_LN", "0") == "1"
+        and _env_knob("LOONGX_FUSE_LN") == "1"
     )
     if ln_mod is not None and not ln_in_kernel:
         # prologue can't ride into the kernel here — apply it in XLA and
@@ -590,25 +594,17 @@ def _fused_qkv_stacked(p, nq, nk, x, num_heads: int, ln_mod=None):
     if tp4:
         from loongx_tpu.parallel.tp_quant import tp_quant_qkv_stacked
 
-        bias4 = (
-            p["bias"].astype(jnp.float32).reshape(nb, 1, 3, h)
-            if "bias" in p else jnp.zeros((nb, 1, 3, h), jnp.float32)
-        )
+        bias4 = _bias3(p, (nb, 1, 3, h))
         q, k, v = tp_quant_qkv_stacked(
             x.reshape(-1, kdim), p["kernel_q"],
             p["kernel_scale"].reshape(nb, 1, 3, h), bias4, norm_w,
             p["_blk"], hd, ab=ab, seg_boundary=boundary,
         )
     else:
-        n3 = 3 * h
-        bias3 = (
-            p["bias"].astype(jnp.float32).reshape(nb, 1, n3)
-            if "bias" in p else jnp.zeros((nb, 1, n3), jnp.float32)
-        )
         q, k, v = quant_qkv_stacked(
             x.reshape(-1, x.shape[-1]), p["kernel_q"],
-            p["kernel_scale"].reshape(nb, 1, n3), bias3, norm_w, p["_blk"], hd,
-            ab=ab, seg_boundary=boundary,
+            p["kernel_scale"].reshape(nb, 1, 3 * h), _bias3(p, (nb, 1, 3 * h)),
+            norm_w, p["_blk"], hd, ab=ab, seg_boundary=boundary,
         )
     shape = (b, s, num_heads, hd)
     return (
@@ -717,10 +713,8 @@ def _seg_affine(x, boundary, a_main, b_main, a_cond, b_cond):
 def _elementwise_fusable(
     p: Params, x: jnp.ndarray, use_lora: bool, knob: str = "LOONGX_FUSE_LN"
 ) -> bool:
-    import os
-
     return (
-        os.environ.get(knob, "0") == "1"
+        _env_knob(knob) == "1"
         and isinstance(p, dict)
         and "kernel_q" in p
         and _is_stacked_q(p)
@@ -749,11 +743,16 @@ def _ln_mod_xla(x, ln_mod):
     return _seg_affine(layer_norm(x), boundary, a_m, b_m, a_c, b_c)
 
 
-def _bias3(p: Params) -> jnp.ndarray:
-    nb, _, n = p["kernel_q"].shape
+def _bias3(p: Params, shape: Optional[Tuple[int, ...]] = None) -> jnp.ndarray:
+    """fp32 bias operand for the stacked quant kernels (zeros when the
+    linear has no bias) — [NB, 1, N] by default; fused-qkv callers pass
+    their [NB, 1, 3, H] / [NB, 1, 3H] layouts explicitly."""
+    if shape is None:
+        nb, _, n = p["kernel_q"].shape
+        shape = (nb, 1, n)
     return (
-        p["bias"].astype(jnp.float32).reshape(nb, 1, n)
-        if "bias" in p else jnp.zeros((nb, 1, n), jnp.float32)
+        p["bias"].astype(jnp.float32).reshape(shape)
+        if "bias" in p else jnp.zeros(shape, jnp.float32)
     )
 
 
@@ -923,6 +922,13 @@ def double_block_forward(
             attn["to_out"], out[:, s_txt:], use_lora=luse, lora_mask=lmask,
             tp_kind="row",
         )
+        if s_cond != s_img:
+            raise ValueError(
+                "add_cond_attn requires equal image and condition token "
+                f"counts (img {s_img}, cond {s_cond}): the gated cond "
+                "attention is added onto the image tokens elementwise "
+                "(reference block.py:233-234)"
+            )
         zero = jnp.zeros_like(mi[2])
         gated_lat = _seg_affine(attn_lat, s_img, mi[2], zero, mc[2], zero)
         gated_lat = gated_lat.at[:, :s_img].add(gated_lat[:, s_img:])

@@ -534,9 +534,12 @@ def quant_matmul_stacked(
     Row segments split at ``seg_boundary`` ([main | cond] fused streams,
     B=1 serving).  Callers must fall back when these can't be represented
     (see models.flux.model helpers)."""
-    # Resolve env-dependent defaults OUTSIDE the jit so they participate in
-    # the cache key (a trace-time `use_w8a8()` read would pin the first
-    # value seen per shape forever).
+    # Resolve env-dependent defaults OUTSIDE the inner jit so they reach it
+    # as static args (a read inside `_quant_matmul_stacked_jit` would pin the
+    # first value seen per shape forever).  NOTE: when this wrapper is itself
+    # traced inside an outer jit (the denoise scan / train step), the env
+    # read still happens at that outer trace — env knobs are process-start
+    # configuration, not runtime switches (see models.flux.model._env_knob).
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if w8a8 is None:
