@@ -203,6 +203,7 @@ def _fwd_kernel(
     bshd: bool = False,
     int8_qk: bool = False,
     int8_cache: bool = False,
+    pv_chunks: int = 1,
 ):
     if int8_cache:
         *refs, qq_ref, qs_ref, kq_ref, ks_ref = refs
@@ -317,16 +318,43 @@ def _fwd_kernel(
     m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
     m_next = jnp.maximum(m_prev, m_curr)  # broadcast to LANES
     alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
-    l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_ref[...] = m_next
-    l_ref[...] = l_next
 
     v = _tile(v_ref, bshd)  # [block_k, D]
-    pv = jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )  # [block_q, D]
-    acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
+    if pv_chunks > 1:
+        # Software-pipelined softmax+PV: the kernel's dependency chain
+        # QK (MXU) -> exp (VPU) -> PV (MXU) serialises the units, leaving
+        # the MXU idle through the whole [block_q, block_k] exp.  Chunking
+        # the key axis and issuing chunk i's exp (VPU) independent of chunk
+        # i-1's PV matmul (MXU) lets Mosaic overlap the two units; the
+        # softmax stays EXACT — the row max is still taken over the full
+        # row before any chunk exponentiates (same numbers, reordered).
+        ck = block_k // pv_chunks
+        acc = acc_ref[...] * alpha[:, :1]
+        l_add = jnp.zeros((block_q, 1), jnp.float32)
+        prev_p = prev_v = None
+        for i in range(pv_chunks):
+            s_i = jax.lax.slice_in_dim(s, i * ck, (i + 1) * ck, axis=1)
+            p_i = jnp.exp(s_i - m_next[:, :1])
+            l_add = l_add + jnp.sum(p_i, axis=1, keepdims=True)
+            if prev_p is not None:
+                acc = acc + jax.lax.dot(
+                    prev_p, prev_v, preferred_element_type=jnp.float32
+                )
+            prev_p = p_i.astype(v.dtype)
+            prev_v = jax.lax.slice_in_dim(v, i * ck, (i + 1) * ck, axis=0)
+        acc = acc + jax.lax.dot(
+            prev_p, prev_v, preferred_element_type=jnp.float32
+        )
+        acc_ref[...] = acc
+        l_ref[...] = l_prev * alpha + l_add
+    else:
+        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+        l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )  # [block_q, D]
+        acc_ref[...] = acc_ref[...] * alpha[:, :1] + pv
 
     @pl.when(kv_idx == num_kv - 1)
     def _store():
@@ -347,7 +375,7 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=(
         "cond_start", "mode", "block_q", "block_k", "use_rope",
-        "save_residuals", "interpret", "bshd", "int8_qk",
+        "save_residuals", "interpret", "bshd", "int8_qk", "pv_chunks",
     ),
 )
 def _flash_fwd(
@@ -366,6 +394,7 @@ def _flash_fwd(
     save_residuals: bool = False,
     bshd: bool = False,
     int8_qk: bool = False,
+    pv_chunks: int = 1,
 ):
     if bshd:
         b, s, h, d = q.shape
@@ -389,6 +418,13 @@ def _flash_fwd(
     num_q = s_pad // block_q
     num_kv = s_pad // block_k
     _check_grid_coverage(block_q, block_k, s, s_pad)
+    if pv_chunks > 1 and (
+        block_k % pv_chunks or (block_k // pv_chunks) % LANES
+    ):
+        raise ValueError(
+            f"pv_chunks={pv_chunks} must split block_k={block_k} into "
+            f"lane-aligned ({LANES}) chunks"
+        )
     # Multi-tile grids quantize via scratch caches (each q tile once per kv
     # sweep, each k tile once per grid) — round 2 re-quantized per step and
     # had to auto-disable int8 scores off the single-(S,S)-tile policy
@@ -416,6 +452,7 @@ def _flash_fwd(
         bshd=bshd,
         int8_qk=int8_qk,
         int8_cache=int8_cache,
+        pv_chunks=pv_chunks,
     )
     if use_rope:
         rope_specs = [
@@ -835,17 +872,19 @@ def _bias_for(s_q: int, cond_start: int, mode: str, cbias: jnp.ndarray):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14)
 )
 def _flash_attention(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                     block_k, use_rope, interpret, bshd, int8_qk=False):
+                     block_k, use_rope, interpret, bshd, int8_qk=False,
+                     pv_chunks=1):
     return _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
                       block_k, use_rope, interpret, bshd=bshd,
-                      int8_qk=int8_qk)
+                      int8_qk=int8_qk, pv_chunks=pv_chunks)
 
 
 def _flash_attention_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
-                         block_k, use_rope, interpret, bshd, int8_qk=False):
+                         block_k, use_rope, interpret, bshd, int8_qk=False,
+                         pv_chunks=1):
     # This path only runs under differentiation (training).  The backward
     # kernels rebuild probabilities from bf16 scores, so an int8 forward
     # would make the saved (m, l) stats inconsistent with the recomputed
@@ -856,11 +895,11 @@ def _flash_attention_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
         # cbias needs a gradient — XLA recompute backward keeps it exact
         o = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
                        block_k, use_rope, interpret, bshd=bshd,
-                       int8_qk=int8_qk)
+                       int8_qk=int8_qk, pv_chunks=pv_chunks)
         return o, (q, k, v, cbias, cos, sin, None, None, None)
     o, m, l = _flash_fwd(q, k, v, cbias, cos, sin, cond_start, mode, block_q,
                          block_k, use_rope, interpret, save_residuals=True,
-                         bshd=bshd, int8_qk=int8_qk)
+                         bshd=bshd, int8_qk=int8_qk, pv_chunks=pv_chunks)
     return o, (q, k, v, cbias, cos, sin, o, m, l)
 
 
@@ -903,7 +942,7 @@ def _bwd_blocks(s: int, block_q: int, block_k: int) -> Tuple[int, int]:
 
 
 def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
-                         interpret, bshd, int8_qk, residuals, do):
+                         interpret, bshd, int8_qk, pv_chunks, residuals, do):
     """Backward pass.
 
     Mask modes (union / no_union / independent) use the Pallas dKV + dQ
@@ -928,7 +967,7 @@ def _flash_attention_bwd(cond_start, mode, block_q, block_k, use_rope,
         t = functools.partial(jnp.swapaxes, axis1=1, axis2=2)
         outs = _flash_attention_bwd(
             cond_start, mode, block_q, block_k, use_rope, interpret, False,
-            int8_qk,
+            int8_qk, pv_chunks,
             (t(q), t(k), t(v), cbias, cos, sin, None, None, None), t(do),
         )
         dq, dk, dv, dcbias, dcos, dsin = outs
@@ -1007,6 +1046,7 @@ def flash_attention(
     abq, abk = auto_blocks(s)
     block_q = abq if block_q is None else min(block_q, _round_up(s, LANES))
     block_k = abk if block_k is None else min(block_k, _round_up(s, LANES))
+    pv_chunks = _pv_chunk_policy(block_k)
     if c_factor is not None:
         mode = "cfactor"
         cbias = jnp.log(
@@ -1023,5 +1063,22 @@ def flash_attention(
         cos = sin = jnp.zeros((8, d), jnp.float32)
     return _flash_attention(
         q, k, v, cbias, cos, sin, cond_start, mode, block_q, block_k,
-        use_rope, interpret, layout == "bshd", use_int8_attn(),
+        use_rope, interpret, layout == "bshd", use_int8_attn(), pv_chunks,
     )
+
+
+def _pv_chunk_policy(block_k: int) -> int:
+    """How many key-axis chunks to software-pipeline the softmax+PV over
+    (see `_fwd_kernel`).  LOONGX_FLASH_PV_CHUNKS overrides (0/1 disables);
+    resolved at call time like the other serving knobs — trace-time capture,
+    flip only at process start.  Default 1 (off) pending an on-chip win."""
+    import os
+
+    raw = os.environ.get("LOONGX_FLASH_PV_CHUNKS", "")
+    n = int(raw) if raw else 1
+    if n <= 1:
+        return 1
+    # shrink until the chunks are lane-aligned divisors of block_k
+    while n > 1 and (block_k % n or (block_k // n) % LANES):
+        n -= 1
+    return n

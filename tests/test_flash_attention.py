@@ -523,3 +523,35 @@ def test_non_dividing_blocks_raise():
             q, q, q, cond_start=512, mode="union",
             block_q=768, block_k=1024, interpret=True,
         )
+
+
+def test_pv_chunks_matches_unchunked():
+    """The software-pipelined softmax+PV path (pv_chunks > 1) is exact: the
+    row max is taken over the full row before any chunk exponentiates, so
+    only float reassociation of the l sum differs."""
+    import os
+    from unittest import mock
+
+    from loongx_tpu.ops.flash_attention import _flash_fwd, _pv_chunk_policy
+
+    q, k, v = make_qkv(jax.random.key(3), s=256, d=128)
+    cb = jnp.zeros((1, 1), jnp.float32)
+    dummy = jnp.zeros((8, 128), jnp.float32)
+    for mode in ("union", "no_union"):
+        base = _flash_fwd(q, k, v, cb, dummy, dummy, 192, mode,
+                          256, 256, False, True, save_residuals=True)
+        out = _flash_fwd(q, k, v, cb, dummy, dummy, 192, mode,
+                         256, 256, False, True, save_residuals=True,
+                         pv_chunks=2)  # 128-wide chunks (lane-aligned)
+        for a, b in zip(base, out):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )
+    # the public wrapper routes the env knob through the lane/divisor guard
+    with mock.patch.dict(os.environ, {"LOONGX_FLASH_PV_CHUNKS": "8"}):
+        assert _pv_chunk_policy(256) == 2       # 8,4 chunks not lane-aligned
+        # 2560 = 20 lanes: nc=8 gives 320-wide chunks (not lane-aligned),
+        # shrink to the next valid divisor
+        assert _pv_chunk_policy(2560) == 5
+    with mock.patch.dict(os.environ, {"LOONGX_FLASH_PV_CHUNKS": "0"}):
+        assert _pv_chunk_policy(2560) == 1
