@@ -128,6 +128,17 @@ def encode_brain_conditions(
     dgf = pipeline.params.get("dgf")
     if enc is None:
         raise RuntimeError("pipeline has no biosignal encoders")
+    missing = [
+        name for name, sig in
+        (("eeg", eeg), ("ppg", ppg), ("fnirs", fnirs), ("motion", motion))
+        if sig is not None and name not in enc
+    ]
+    if missing:
+        # fail with a named error, not a KeyError inside the jit trace
+        raise RuntimeError(
+            f"pipeline.params['encoders'] lacks {missing} but those signals "
+            f"were given (partial checkpoint? present: {sorted(enc)})"
+        )
     needs_dgf = (eeg is not None and ppg is not None) or (
         fnirs is not None and motion is not None
     )
@@ -184,6 +195,29 @@ def generate(
     Returns images as float32 numpy [B, H, W, 3] in [-1, 1] ("np"),
     uint8 ("uint8"), or raw packed latents ("latent").
     """
+    if fuse_mode not in ("infer", "train"):
+        raise ValueError(
+            f"fuse_mode={fuse_mode!r} — must be 'infer' or 'train' (the two "
+            "documented DUAN wirings, SURVEY §2b); anything else would "
+            "silently select the train wiring"
+        )
+    if output_type not in ("np", "uint8", "latent"):
+        raise ValueError(
+            f"output_type={output_type!r} — must be 'np', 'uint8', or "
+            "'latent'"
+        )
+    if condition_scale <= 0:
+        raise ValueError(
+            f"condition_scale={condition_scale} must be > 0: it enters the "
+            "attention as a log bias (log(0)=-inf, log(<0)=NaN would "
+            "silently poison every denoise step)"
+        )
+    if conditions and cond_tokens is not None:
+        raise ValueError(
+            "pass either `conditions` or precomputed `cond_tokens`, not "
+            "both — the Condition encode would silently overwrite the "
+            "precomputed tokens"
+        )
     if key is None:
         key = jax.random.key(0 if seed is None else seed)
     k_lat, k_enc = jax.random.split(key)
@@ -219,8 +253,26 @@ def generate(
             print("[generate] WARNING: motion given without fnirs — Motion "
                   "fuses into the pooled slot only alongside fNIRS; it is "
                   "ignored")
+        if eeg is None and fnirs is None and ppg is None and motion is None:
+            raise ValueError(
+                "use_brain_condition=True but no biosignals were given "
+                "(eeg/fnirs/ppg/motion all None, on the kwargs and on the "
+                "Condition) — the call would silently degrade to text-only "
+                "generation"
+            )
         brain_prompt, brain_pooled = encode_brain_conditions(
             pipeline, eeg=eeg, fnirs=fnirs, ppg=ppg, motion=motion
+        )
+    elif conditions and conditions[0].condition is None and any(
+        x is not None
+        for x in (conditions[0].eeg, conditions[0].fnirs,
+                  conditions[0].ppg, conditions[0].motion)
+    ):
+        raise ValueError(
+            "the Condition carries biosignals and no condition image, but "
+            "use_brain_condition=False — nothing of it would be used. Pass "
+            "use_brain_condition=True (the deployed neural mode) or give "
+            "the Condition a source image"
         )
 
     # ---- text embeddings ----
@@ -246,7 +298,6 @@ def generate(
             # it (the reference pays it, generate.py:152-165 then :256-258)
             prompt_embeds = brain_prompt.astype(pipeline.dtype)
             pooled_prompt_embeds = brain_pooled.astype(pipeline.dtype)
-            txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
         else:
             # encode_text only zeroes the embeds when the tokenizers are
             # absent; with tokenizers loaded, real text embeds back any
@@ -254,7 +305,7 @@ def generate(
             text_zeroed = neural_only and (
                 pipeline.t5_tokenizer is None or pipeline.clip_tokenizer is None
             )
-            prompt_embeds, pooled_prompt_embeds, txt_ids = pipeline.encode_text(
+            prompt_embeds, pooled_prompt_embeds, _ = pipeline.encode_text(
                 prompt, neural_only=neural_only
             )
     else:
@@ -263,11 +314,26 @@ def generate(
                 "prompt_embeds given without pooled_prompt_embeds — both are "
                 "required (pooled feeds the adaLN timestep embedding)"
             )
-        txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
     batch = prompt_embeds.shape[0]
 
     # ---- brain fusion / replacement ----
     if use_brain_condition:
+        # brain signals may carry a real batch while prompt=None encoded ONE
+        # empty prompt — broadcast singleton text embeds BEFORE fusion so the
+        # DUAN wirings (and the concat in fuse_text_train) see one batch size
+        brain_bs = [
+            x.shape[0] for x in (brain_prompt, brain_pooled) if x is not None
+        ]
+        if brain_bs and max(brain_bs) > 1:
+            bb = max(brain_bs)
+            if prompt_embeds.shape[0] == 1:
+                prompt_embeds = jnp.broadcast_to(
+                    prompt_embeds, (bb,) + prompt_embeds.shape[1:]
+                )
+            if pooled_prompt_embeds.shape[0] == 1:
+                pooled_prompt_embeds = jnp.broadcast_to(
+                    pooled_prompt_embeds, (bb,) + pooled_prompt_embeds.shape[1:]
+                )
         if fuse_flag:
             if brain_prompt is None and brain_pooled is not None:
                 raise ValueError(
@@ -290,6 +356,19 @@ def generate(
                         "fuse_flag=True but pipeline.params has no 'dgf' "
                         "fusion module (partial checkpoint?)"
                     )
+                # DUAN normalises over the token axis with a fixed channel
+                # count (512 = T5 max seq, models/fusion.py init_dgf) — a
+                # different prompt length would fail as an opaque matmul
+                # shape error deep inside the jit
+                want_tok = dgf["duan_prompt"]["gate_in"]["kernel"].shape[0]
+                if prompt_embeds.shape[1] != want_tok:
+                    raise ValueError(
+                        f"fuse_flag=True needs prompt_embeds with exactly "
+                        f"{want_tok} tokens (the DGF's DUAN channel count); "
+                        f"got {prompt_embeds.shape[1]}. Encode prompts at "
+                        f"max_sequence_length={want_tok}, or use the "
+                        "replacement mode (fuse_flag=False)"
+                    )
                 fuse_fn = fuse_text_infer if fuse_mode == "infer" else fuse_text_train
                 prompt_embeds, pooled_prompt_embeds = fuse_fn(
                     dgf, prompt_embeds, pooled_prompt_embeds,
@@ -301,7 +380,6 @@ def generate(
             # the text embedding for the missing slot)
             if brain_prompt is not None:
                 prompt_embeds = brain_prompt.astype(pipeline.dtype)
-                txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
             if brain_pooled is not None:
                 pooled_prompt_embeds = brain_pooled.astype(pipeline.dtype)
             if text_zeroed and (brain_prompt is None or brain_pooled is None):
@@ -339,6 +417,11 @@ def generate(
             pooled_prompt_embeds = jnp.broadcast_to(
                 pooled_prompt_embeds, (batch,) + pooled_prompt_embeds.shape[1:]
             )
+
+    # text position ids are always zeros of the FINAL prompt length (FLUX
+    # convention; replacement above may have changed the token count) —
+    # one construction site instead of one per embeds path
+    txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
 
     # ---- latents ----
     vae_scale = pipeline.vae_cfg.downscale
@@ -400,6 +483,16 @@ def generate(
                 toks.astype(pipeline.dtype), (batch,) + toks.shape[1:]
             )
             cond_ids = ids
+        elif conditions[0].condition_type != "eeg+fnirs":
+            # only the SEED biosignal type may legitimately arrive without a
+            # condition image (signals ride the brain path above); a spatial
+            # condition type with no image means an upstream load failed —
+            # denoising unconditioned here would LOOK plausible and be wrong
+            raise ValueError(
+                f"Condition({conditions[0].condition_type!r}) has no "
+                "condition image — spatial condition types need raw_img or "
+                "a precomputed condition"
+            )
         # else: a biosignal-only Condition (e.g. "eeg+fnirs" with no source
         # image) — its signals were lifted into the brain path above; there
         # are no latent tokens to attach

@@ -77,7 +77,8 @@ class SampleProbe:
         out = generate(
             pipeline,
             prompt=self.prompt if pipeline.t5_tokenizer else None,
-            prompt_embeds=None if pipeline.t5_tokenizer else _zero_embeds(pipeline),
+            prompt_embeds=None if pipeline.t5_tokenizer
+            else _zero_embeds(pipeline, fuse=use_brain),
             pooled_prompt_embeds=None if pipeline.t5_tokenizer else _zero_pooled(pipeline),
             conditions=conditions,
             height=self.size,
@@ -103,10 +104,19 @@ class SampleProbe:
         return path
 
 
-def _zero_embeds(pipeline):
+def _zero_embeds(pipeline, fuse: bool = False):
     import jax.numpy as jnp
 
-    return jnp.zeros((1, 8, pipeline.flux_cfg.joint_dim), pipeline.dtype)
+    # when the probe will DUAN-fuse brain embeds into these (fuse_flag),
+    # the token count must equal the DGF's fixed channel count (512 —
+    # generate() validates this at its boundary); otherwise 8 tokens keep
+    # the tokenizer-less probes cheap
+    dgf = pipeline.params.get("dgf")
+    s = (
+        dgf["duan_prompt"]["gate_in"]["kernel"].shape[0]
+        if fuse and dgf is not None else 8
+    )
+    return jnp.zeros((1, s, pipeline.flux_cfg.joint_dim), pipeline.dtype)
 
 
 def _zero_pooled(pipeline):

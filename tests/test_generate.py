@@ -387,3 +387,95 @@ class TestInputValidation:
                 height=16, width=16, num_inference_steps=1,
                 attn_backend="xla",
             )
+
+    def test_invalid_fuse_mode_and_output_type_raise(self, pipe):
+        pe, pool = _embeds(pipe)
+        kw = dict(prompt_embeds=pe, pooled_prompt_embeds=pool, height=16,
+                  width=16, num_inference_steps=1, attn_backend="xla")
+        with pytest.raises(ValueError, match="fuse_mode"):
+            generate(pipe, fuse_mode="inference", **kw)
+        with pytest.raises(ValueError, match="output_type"):
+            generate(pipe, output_type="pil", **kw)
+        with pytest.raises(ValueError, match="condition_scale"):
+            generate(pipe, condition_scale=0.0, **kw)
+
+    def test_conditions_and_cond_tokens_conflict(self, pipe):
+        from PIL import Image as PILImage
+
+        pe, pool = _embeds(pipe)
+        img = PILImage.fromarray(
+            np.zeros((16, 16, 3), np.uint8)
+        )
+        with pytest.raises(ValueError, match="not\\s+both"):
+            generate(
+                pipe, prompt_embeds=pe, pooled_prompt_embeds=pool,
+                conditions=[Condition("canny", raw_img=img)],
+                cond_tokens=jnp.zeros((4, pipe.flux_cfg.in_channels)),
+                cond_ids=jnp.zeros((4, 3)),
+                height=16, width=16, num_inference_steps=1,
+                attn_backend="xla",
+            )
+
+    def test_brain_flag_mismatches_raise(self, pipe):
+        pe, pool = _embeds(pipe)
+        kw = dict(prompt_embeds=pe, pooled_prompt_embeds=pool, height=16,
+                  width=16, num_inference_steps=1, attn_backend="xla")
+        # use_brain_condition=True with zero signals must not silently
+        # degrade to text-only
+        pipe2 = LoongXPipeline.tiny(jax.random.key(1))
+        pipe2.params["encoders"] = {}
+        with pytest.raises(ValueError, match="no biosignals"):
+            generate(pipe2, use_brain_condition=True, **kw)
+        # a biosignal-carrying Condition with use_brain_condition=False
+        # would be entirely unused
+        cond = Condition("eeg+fnirs", eeg=np.zeros((1, 4, 16), np.float32))
+        with pytest.raises(ValueError, match="use_brain_condition"):
+            generate(pipe, conditions=[cond], **kw)
+
+    def test_imageless_spatial_condition_raises(self, pipe):
+        pe, pool = _embeds(pipe)
+        with pytest.raises(ValueError, match="no\\s+condition image"):
+            generate(
+                pipe, prompt_embeds=pe, pooled_prompt_embeds=pool,
+                conditions=[Condition("subject")],
+                height=16, width=16, num_inference_steps=1,
+                attn_backend="xla",
+            )
+
+    def test_fuse_wrong_token_count_raises(self, monkeypatch):
+        """DGF fusion needs prompt_embeds with exactly the DUAN channel
+        count of tokens — a named error at the generate() boundary, not an
+        opaque matmul shape mismatch inside the jit."""
+        import importlib
+
+        gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+        pipe = LoongXPipeline.tiny(jax.random.key(0))
+        bp = jnp.ones((1, 8, pipe.flux_cfg.joint_dim), jnp.float32)
+        bpool = jnp.ones((1, pipe.flux_cfg.pooled_dim), jnp.float32)
+        monkeypatch.setattr(
+            gen_mod, "encode_brain_conditions", lambda *a, **k: (bp, bpool)
+        )
+        pipe.params["encoders"] = {}
+        pipe.params["dgf"] = {
+            "duan_prompt": {"gate_in": {"kernel": jnp.zeros((512, 4))}}
+        }
+        pe, pool = _embeds(pipe)  # 8 tokens != 512
+        with pytest.raises(ValueError, match="512 tokens"):
+            gen_mod.generate(
+                pipe, prompt_embeds=pe, pooled_prompt_embeds=pool,
+                use_brain_condition=True, fuse_flag=True,
+                eeg=np.zeros((1, 4, 16), np.float32),
+                height=16, width=16, num_inference_steps=1,
+                attn_backend="xla",
+            )
+
+    def test_partial_encoders_named_error(self, pipe):
+        from loongx_tpu.sampling.generate import encode_brain_conditions
+
+        pipe2 = LoongXPipeline.tiny(jax.random.key(2))
+        pipe2.params["encoders"] = {"eeg": {}}
+        with pytest.raises(RuntimeError, match="ppg"):
+            encode_brain_conditions(
+                pipe2, eeg=np.zeros((1, 4, 16), np.float32),
+                ppg=np.zeros((1, 4, 16), np.float32),
+            )
