@@ -180,15 +180,30 @@ def shard_params(params, mesh: Mesh, tensor_parallel: bool = True):
 
 def shard_batch(batch, mesh: Mesh):
     """Shard the leading (batch) axis over the data axis.  Leaves whose
-    leading dim is not divisible by the data-axis size (per-token ids,
-    scalars) are replicated instead."""
+    leading dim is not divisible by the per-process data-axis extent
+    (per-token ids, scalars) are replicated instead.
+
+    Multi-host: each process passes its OWN local batch, which becomes that
+    process's shard of a global [local_batch * num_hosts, ...] array
+    (``jax.make_array_from_process_local_data``) — a plain device_put would
+    misread every host's local rows as the same global batch, training a
+    patchwork and discarding (H-1)/H of each host's samples.  Replicated
+    leaves must be identical across hosts (position ids / scalars derived
+    from shapes and config are)."""
     n_data = mesh.shape.get("data", 1)
+    n_proc = jax.process_count()
+    per_proc = max(1, n_data // n_proc)
     batch_sharding = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
     def put(x):
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n_data == 0:
-            return jax.device_put(x, batch_sharding)
-        return jax.device_put(x, repl)
+        sharded = getattr(x, "ndim", 0) >= 1 and x.shape[0] % per_proc == 0
+        if n_proc > 1:
+            import numpy as _np
+
+            return jax.make_array_from_process_local_data(
+                batch_sharding if sharded else repl, _np.asarray(x)
+            )
+        return jax.device_put(x, batch_sharding if sharded else repl)
 
     return jax.tree.map(put, batch)

@@ -75,19 +75,30 @@ def train(
     accum = max(1, tcfg.accumulate_grad_batches)
     # clip INSIDE MultiSteps: the reference (Lightning gradient_clip_val)
     # clips the ACCUMULATED gradient once per optimizer step; chaining the
-    # clip outside would clip each micro-gradient before averaging
-    optimizer = optax.MultiSteps(
-        optax.chain(
-            optax.clip_by_global_norm(tcfg.gradient_clip_val),
-            build_optimizer(tcfg.optimizer),
-        ),
-        every_k_schedule=accum,
-    )
+    # clip outside would clip each micro-gradient before averaging.
+    # Lightning semantics for the value itself: None/0 disables clipping
+    # (clip_by_global_norm(0.0) would zero every update).
+    tx = build_optimizer(tcfg.optimizer)
+    if tcfg.gradient_clip_val:
+        tx = optax.chain(
+            optax.clip_by_global_norm(tcfg.gradient_clip_val), tx
+        )
+    optimizer = optax.MultiSteps(tx, every_k_schedule=accum)
+    use_brain = tcfg.dataset.type.lower() == "seed"
+    if use_brain and "encoders" not in pipeline.params:
+        # fail at setup with the real constraint, not a KeyError('encoders')
+        # inside the first traced train step
+        raise RuntimeError(
+            "dataset.type='seed' trains with biosignal conditioning, but "
+            "the pipeline has no 'encoders' (CS3) params — load a checkpoint "
+            "converted with the biosignal components, or use a spatial "
+            "dataset type"
+        )
     init_fn, step_fn = make_train_step(
         pipeline.flux_cfg,
         optimizer,
         flags=config.model.to_dict(),
-        use_brain_condition=(tcfg.dataset.type.lower() == "seed"),
+        use_brain_condition=use_brain,
         fuse_flag=True,
         remat=tcfg.gradient_checkpointing,
         grad_clip=None,  # clipping lives inside the MultiSteps chain above
@@ -106,6 +117,10 @@ def train(
         "optimizer": tcfg.optimizer.type,
         "condition_type": tcfg.condition_type,
         "accumulate_grad_batches": tcfg.accumulate_grad_batches,
+        # the skip_batches/fold_in resume continuity depends on both: a
+        # changed batch size or seed would fast-forward a DIFFERENT stream
+        "batch_size": tcfg.batch_size,
+        "seed": tcfg.seed,
         "flux_blocks": [pipeline.flux_cfg.num_double_blocks,
                         pipeline.flux_cfg.num_single_blocks],
     }
@@ -135,14 +150,27 @@ def train(
                 t, o, start_step = load_train_checkpoint(
                     ck, {"trainable": state.trainable, "opt_state": state.opt_state}
                 )
+                # state.step counts MICRO batches (step_fn increments per
+                # call); the checkpoint stores the OPTIMIZER step
                 state = state._replace(trainable=t, opt_state=o,
-                                       step=jnp.asarray(start_step))
+                                       step=jnp.asarray(start_step * accum))
                 print(f"[train] resumed from {ck} @ step {start_step}")
                 break
 
     frozen = shard_params(frozen, mesh)
     repl = NamedSharding(mesh, P())
     state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    # rebind the pipeline to the SHARDED frozen leaves: the unsharded
+    # originals would otherwise stay pinned on the default device for the
+    # whole run beside the sharded copies — a second full frozen DiT (~12 GB
+    # int8 / 24 GB bf16 at full scale) of pure waste.  The trainable leaves
+    # here alias `state` and die on the first donated step — anything that
+    # reads them mid-run must merge live values over them (the probe's
+    # trainable_view does); the tree is repaired with the FINAL trained
+    # weights before returning.
+    from loongx_tpu.train.step import combine as _combine
+
+    pipeline.params = _combine(trainable, frozen)
     step_jit = jax.jit(step_fn, donate_argnums=(0,))
 
     # periodic visual-regression probe from the first dataset sample
@@ -153,10 +181,12 @@ def train(
             from loongx_tpu.train.sampling_probe import SampleProbe
 
             probe_sample = dataset[0]
+            # canonical pkl keys ('Motion', not 'MOTION' — SampleProbe and
+            # cli/infer.py read exactly these)
             biosig = {
-                key.upper(): probe_sample[k]
-                for k, key in (("eeg", "eeg"), ("fnirs", "fnirs"),
-                               ("ppg", "ppg"), ("motion", "motion"))
+                key: probe_sample[k]
+                for k, key in (("eeg", "EEG"), ("fnirs", "FNIRS"),
+                               ("ppg", "PPG"), ("motion", "Motion"))
                 if probe_sample.get(k) is not None
             }
             if biosig and "encoders" not in pipeline.params:
@@ -181,16 +211,22 @@ def train(
         except Exception as exc:
             print(f"[train] sample probe unavailable: {exc}")
 
+    # rank-0 gating (the reference's Lightning plumbing logs on rank 0 only,
+    # train.py:71-73): every host would otherwise open its own wandb run and
+    # print duplicate logs
+    is_main = jax.process_index() == 0
     callback = TrainingCallback(
         run_name=run_name,
         save_path=tcfg.save_path,
         save_interval=tcfg.save_interval,
         sample_interval=tcfg.sample_interval,
-        use_wandb=use_wandb if use_wandb is not None else bool(tcfg.wandb),
+        use_wandb=(use_wandb if use_wandb is not None else bool(tcfg.wandb))
+        and is_main,
         wandb_config=tcfg.wandb,
         sample_fn=sample_fn,
         frozen=frozen,
         fingerprint=fingerprint,
+        print_interval=10 if is_main else 0,
     )
 
     # max_steps counts OPTIMIZER steps like the reference's Lightning
@@ -229,24 +265,44 @@ def train(
     from loongx_tpu.data.loader import background_iter
 
     # one-deep lookahead: the next batch's decode + frozen-encoder pass
-    # overlaps the current train step
-    for batch in background_iter(device_batches(), depth=1):
-        if micro >= total_micro:
-            break
-        key, sub = jax.random.split(key)
-        state, metrics = step_jit(state, frozen, batch, sub)
-        if sample_fn is not None:
-            latest["state"] = state
-        micro += 1
-        if micro % accum == 0:
-            # callbacks fire per OPTIMIZER step (Lightning global_step):
-            # save_interval / sample_interval / wandb "steps" all count them
-            callback.on_step_end(micro // accum, metrics, state)
+    # overlaps the current train step.  The guard BEFORE building the
+    # iterator matters: at total_micro <= start_micro (max_steps=0, resume at
+    # completion) the prefetch would otherwise decode + VAE/T5-encode a full
+    # batch just to discard it.
+    window = []  # per-micro metrics of the current accumulation span
+    if total_micro > start_micro:
+        for batch in background_iter(device_batches(), depth=1):
+            if micro >= total_micro:
+                break
+            key, sub = jax.random.split(key)
+            state, metrics = step_jit(state, frozen, batch, sub)
+            if sample_fn is not None:
+                latest["state"] = state
+            window.append(metrics)
+            micro += 1
+            if micro % accum == 0:
+                # callbacks fire per OPTIMIZER step (Lightning global_step):
+                # save_interval / sample_interval / wandb "steps" count them.
+                # Loss/grad-norm average over the span (the optimizer saw the
+                # MEAN of these micro-grads; the mean of their norms bounds
+                # the accumulated norm the clip acted on — the last micro
+                # alone reflected ~1/accum of the step)
+                agg = dict(metrics)
+                for k in ("loss", "grad_norm"):
+                    if k in metrics:
+                        agg[k] = jnp.mean(jnp.stack([w[k] for w in window]))
+                window.clear()
+                callback.on_step_end(micro // accum, agg, state)
     step = micro // accum
     wall = time.time() - t0
-    print(f"[train] {step - start_step} optimizer steps "
-          f"({micro - start_micro} micro-batches) in {wall:.1f}s "
-          f"({(micro - start_micro) / max(wall, 1e-9):.2f} micro-steps/s)")
+    if is_main:
+        print(f"[train] {step - start_step} optimizer steps "
+              f"({micro - start_micro} micro-batches) in {wall:.1f}s "
+              f"({(micro - start_micro) / max(wall, 1e-9):.2f} micro-steps/s)")
     callback.save_checkpoint(step, state)
+    # repair the trainable aliases step_jit donated away, and expose the
+    # FINAL trained weights — callers keep using the pipeline after train()
+    # (the reference trains its torch modules in place)
+    pipeline.params = _combine(state.trainable, frozen)
     return {"steps": step, "wall_s": wall,
             "final_loss": float(metrics.get("loss", np.nan)) if metrics else None}
