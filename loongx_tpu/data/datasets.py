@@ -197,13 +197,10 @@ class ImageConditionDataset:
     @property
     def depth_fn(self):
         if self._depth_fn is None:
-            from transformers import pipeline as hf_pipeline
+            from loongx_tpu.models.depth import depth_estimator
 
-            pipe = hf_pipeline(
-                task="depth-estimation",
-                model="LiheYoung/depth-anything-small-hf",
-            )
-            self._depth_fn = lambda img: pipe(img)["depth"]
+            est = depth_estimator()
+            self._depth_fn = lambda img: est(img)["depth"]
         return self._depth_fn
 
     def _canny(self, img):

@@ -78,15 +78,17 @@ def synthesize_condition_image(condition_type: str, raw_img) -> Any:
         return raw_img.convert("RGB")
     if condition_type in ("depth", "depth_pred"):
         try:
-            from transformers import pipeline as hf_pipeline
+            # in-framework JAX Depth-Anything for local checkouts
+            # ($LOONGX_DEPTH_MODEL); HF torch pipeline fallback for hub ids
+            from loongx_tpu.models.depth import depth_estimator
 
-            depth = hf_pipeline(
-                task="depth-estimation", model="LiheYoung/depth-anything-small-hf"
-            )
-            return depth(raw_img.convert("RGB"))["depth"].convert("RGB")
+            est = depth_estimator()
+            return est(raw_img.convert("RGB"))["depth"].convert("RGB")
         except Exception as exc:  # no weights in zero-egress envs
             raise RuntimeError(
-                "depth condition requires a local depth-estimation model"
+                "depth condition requires a local depth-estimation model "
+                "(point $LOONGX_DEPTH_MODEL at an HF checkout of "
+                "depth-anything)"
             ) from exc
     return raw_img
 

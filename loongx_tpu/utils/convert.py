@@ -603,3 +603,107 @@ def convert_marian_state(state, cfg, dtype=jnp.bfloat16):
         "dec_blocks": _stack([dec_block(i) for i in range(cfg.decoder_layers)]),
         "logits_bias": jnp.asarray(np.reshape(bias, (-1,)), jnp.float32),
     }
+
+
+# ---------------------------------------------------------------------------
+# Depth Anything (DINOv2 backbone + DPT neck/head)
+# ---------------------------------------------------------------------------
+
+
+def load_torch_or_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Flat numpy state dict from an HF checkout: prefers *.safetensors,
+    falls back to pytorch_model.bin (needs torch installed)."""
+    if any(f.endswith(".safetensors") for f in os.listdir(path)):
+        return load_safetensors_dir(path)
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    if not os.path.exists(bin_path):
+        raise FileNotFoundError(f"no safetensors or pytorch_model.bin in {path}")
+    import torch
+
+    sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def convert_depth_anything_state(state, cfg, dtype=jnp.float32):
+    """HF DepthAnythingForDepthEstimation state dict -> models/depth.py tree.
+
+    Key layout per transformers' modeling_depth_anything / modeling_dinov2:
+    ``backbone.embeddings.*``, ``backbone.encoder.layer.{i}.*`` (separate
+    q/k/v linears, layer_scale lambdas), ``backbone.layernorm``,
+    ``neck.reassemble_stage.layers.{i}.{projection,resize}``,
+    ``neck.convs.{i}``, ``neck.fusion_stage.layers.{i}.*``, ``head.conv{1,2,3}``.
+    Convs go OIHW -> HWIO; the reassemble transposed convs go
+    [in, out, kh, kw] -> [in, kh, kw, out] (see _conv_transpose_block)."""
+
+    def conv(prefix, bias=True):
+        p = {
+            "kernel": jnp.asarray(
+                np.transpose(state[f"{prefix}.weight"], (2, 3, 1, 0)), dtype
+            )
+        }
+        if bias:
+            p["bias"] = jnp.asarray(state[f"{prefix}.bias"], dtype)
+        return p
+
+    def block(i):
+        p = f"backbone.encoder.layer.{i}"
+        a = f"{p}.attention"
+        return {
+            "ln1": _gn(state, f"{p}.norm1", dtype),
+            "q": _lin(state, f"{a}.attention.query", dtype),
+            "k": _lin(state, f"{a}.attention.key", dtype),
+            "v": _lin(state, f"{a}.attention.value", dtype),
+            "o": _lin(state, f"{a}.output.dense", dtype),
+            "ls1": jnp.asarray(state[f"{p}.layer_scale1.lambda1"], dtype),
+            "ln2": _gn(state, f"{p}.norm2", dtype),
+            "fc1": _lin(state, f"{p}.mlp.fc1", dtype),
+            "fc2": _lin(state, f"{p}.mlp.fc2", dtype),
+            "ls2": jnp.asarray(state[f"{p}.layer_scale2.lambda1"], dtype),
+        }
+
+    reassemble, convs, fusion = [], [], []
+    for i, factor in enumerate(cfg.reassemble_factors):
+        rp = f"neck.reassemble_stage.layers.{i}"
+        layer = {"proj": conv(f"{rp}.projection")}
+        if factor > 1:
+            layer["resize"] = {
+                "kernel": jnp.asarray(
+                    np.transpose(state[f"{rp}.resize.weight"], (0, 2, 3, 1)),
+                    dtype,
+                ),
+                "bias": jnp.asarray(state[f"{rp}.resize.bias"], dtype),
+            }
+        elif factor < 1:
+            layer["resize"] = conv(f"{rp}.resize")
+        reassemble.append(layer)
+        convs.append(conv(f"neck.convs.{i}", bias=False))
+        fp = f"neck.fusion_stage.layers.{i}"
+        fusion.append(
+            {
+                "proj": conv(f"{fp}.projection"),
+                "res1": {
+                    "conv1": conv(f"{fp}.residual_layer1.convolution1"),
+                    "conv2": conv(f"{fp}.residual_layer1.convolution2"),
+                },
+                "res2": {
+                    "conv1": conv(f"{fp}.residual_layer2.convolution1"),
+                    "conv2": conv(f"{fp}.residual_layer2.convolution2"),
+                },
+            }
+        )
+
+    return {
+        "cls": jnp.asarray(state["backbone.embeddings.cls_token"], dtype),
+        "pos": jnp.asarray(state["backbone.embeddings.position_embeddings"], dtype),
+        "patch": conv("backbone.embeddings.patch_embeddings.projection"),
+        "blocks": [block(i) for i in range(cfg.num_layers)],
+        "ln": _gn(state, "backbone.layernorm", dtype),
+        "reassemble": reassemble,
+        "convs": convs,
+        "fusion": fusion,
+        "head": {
+            "conv1": conv("head.conv1"),
+            "conv2": conv("head.conv2"),
+            "conv3": conv("head.conv3"),
+        },
+    }
