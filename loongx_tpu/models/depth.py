@@ -105,8 +105,14 @@ def _interp_taps(in_size: int, out_size: int, mode: str, align_corners: bool):
     Matches torch.nn.functional.interpolate: half-pixel source mapping for
     align_corners=False, endpoint mapping for True; cubic convolution with
     A=-0.75 and border-clamped taps for "cubic"."""
-    if align_corners and out_size > 1:
-        src = np.arange(out_size) * (in_size - 1) / max(out_size - 1, 1)
+    if align_corners:
+        # out_size == 1: torch samples source index 0 (scale is 0/0 there),
+        # NOT the half-pixel center
+        src = (
+            np.arange(out_size) * (in_size - 1) / (out_size - 1)
+            if out_size > 1
+            else np.zeros(out_size)
+        )
     else:
         src = (np.arange(out_size) + 0.5) * in_size / out_size - 0.5
     if mode == "linear":
@@ -419,8 +425,11 @@ def depth_anything_forward(
 # estimator wrapper: HF-pipeline-compatible preprocessing / postprocessing
 # ---------------------------------------------------------------------------
 
-_IMAGENET_MEAN = (0.485, 0.456, 0.406)
-_IMAGENET_STD = (0.229, 0.224, 0.225)
+def _imagenet_mean_std() -> Tuple[np.ndarray, np.ndarray]:
+    # single source of truth for the ImageNet stats (models/vision.py)
+    from loongx_tpu.models.vision import IMAGENET_MEAN, IMAGENET_STD
+
+    return np.asarray(IMAGENET_MEAN, np.float32), np.asarray(IMAGENET_STD, np.float32)
 
 
 def _constrain_multiple(val: float, multiple: int, min_val: int = 0) -> int:
@@ -434,14 +443,16 @@ def _constrain_multiple(val: float, multiple: int, min_val: int = 0) -> int:
 def dpt_resize_hw(
     in_h: int,
     in_w: int,
-    target: int,
+    target,
     multiple: int,
     keep_aspect_ratio: bool = True,
 ) -> Tuple[int, int]:
     """Output (H, W) per the DPT image processor: scale as little as
-    possible toward (target, target), each dim rounded to ``multiple``."""
-    scale_h = target / in_h
-    scale_w = target / in_w
+    possible toward ``target`` (an int for square, or (H, W)), each dim
+    rounded to ``multiple``."""
+    t_h, t_w = (target, target) if isinstance(target, int) else target
+    scale_h = t_h / in_h
+    scale_w = t_w / in_w
     if keep_aspect_ratio:
         if abs(1 - scale_w) < abs(1 - scale_h):
             scale_h = scale_w
@@ -464,19 +475,38 @@ class DepthAnythingEstimator:
         self,
         params: Params,
         cfg: DepthAnythingConfig,
-        image_mean: Sequence[float] = _IMAGENET_MEAN,
-        image_std: Sequence[float] = _IMAGENET_STD,
-        size: int = 518,
+        image_mean: Optional[Sequence[float]] = None,
+        image_std: Optional[Sequence[float]] = None,
+        size=518,
         ensure_multiple_of: int = 14,
         keep_aspect_ratio: bool = True,
+        resample: int = 3,  # PIL code: 3 = BICUBIC (the DPT default)
+        do_resize: bool = True,
+        do_rescale: bool = True,
+        rescale_factor: float = 1.0 / 255.0,
+        do_normalize: bool = True,
     ):
+        mean, std = _imagenet_mean_std()
         self.params = params
         self.cfg = cfg
-        self.image_mean = np.asarray(image_mean, np.float32)
-        self.image_std = np.asarray(image_std, np.float32)
+        self.image_mean = np.asarray(
+            mean if image_mean is None else image_mean, np.float32
+        )
+        self.image_std = np.asarray(
+            std if image_std is None else image_std, np.float32
+        )
         self.size = size
         self.ensure_multiple_of = ensure_multiple_of
         self.keep_aspect_ratio = keep_aspect_ratio
+        self.resample = int(resample)
+        self.do_resize = bool(do_resize)
+        self.do_rescale = bool(do_rescale)
+        self.rescale_factor = float(rescale_factor)
+        self.do_normalize = bool(do_normalize)
+        # NOTE: the jitted forward specialises on the preprocessed (H, W);
+        # mixed-aspect inputs under keep_aspect_ratio each pay one XLA
+        # compile for their multiple-of-14 shape bucket (the fixed-size
+        # training path compiles once)
         self._fwd = jax.jit(
             functools.partial(depth_anything_forward, cfg=cfg)
         )
@@ -503,28 +533,42 @@ class DepthAnythingEstimator:
             with open(pp_path) as f:
                 pp = json.load(f)
         size = pp.get("size", {})
+        if isinstance(size, dict):
+            target = (size.get("height", 518), size.get("width", 518))
+        elif isinstance(size, int):
+            target = (size, size)
+        else:
+            target = (518, 518)
         return DepthAnythingEstimator(
             params,
             cfg,
-            image_mean=pp.get("image_mean", _IMAGENET_MEAN),
-            image_std=pp.get("image_std", _IMAGENET_STD),
-            size=size.get("height", 518) if isinstance(size, dict) else 518,
+            image_mean=pp.get("image_mean"),
+            image_std=pp.get("image_std"),
+            size=target,
             ensure_multiple_of=pp.get("ensure_multiple_of", 14),
             keep_aspect_ratio=pp.get("keep_aspect_ratio", True),
+            resample=pp.get("resample", 3),
+            do_resize=pp.get("do_resize", True),
+            do_rescale=pp.get("do_rescale", True),
+            rescale_factor=pp.get("rescale_factor", 1.0 / 255.0),
+            do_normalize=pp.get("do_normalize", True),
         )
 
     def predict_depth(self, image) -> np.ndarray:
         """PIL image -> relative depth at the ORIGINAL resolution [H, W]."""
-        from PIL import Image
-
         rgb = image.convert("RGB")
         w0, h0 = rgb.size
-        oh, ow = dpt_resize_hw(
-            h0, w0, self.size, self.ensure_multiple_of, self.keep_aspect_ratio
-        )
-        resized = rgb.resize((ow, oh), Image.BICUBIC)
-        x = np.asarray(resized, np.float32) / 255.0
-        x = (x - self.image_mean) / self.image_std
+        if self.do_resize:
+            oh, ow = dpt_resize_hw(
+                h0, w0, self.size, self.ensure_multiple_of,
+                self.keep_aspect_ratio,
+            )
+            rgb = rgb.resize((ow, oh), self.resample)
+        x = np.asarray(rgb, np.float32)
+        if self.do_rescale:
+            x = x * self.rescale_factor
+        if self.do_normalize:
+            x = (x - self.image_mean) / self.image_std
         depth = self._fwd(self.params, pixel_values=jnp.asarray(x[None]))
         # pipeline postprocess: torch-bicubic back to the source resolution
         depth = resize2d(depth[..., None], (h0, w0), "cubic", False)[0, ..., 0]

@@ -1046,7 +1046,8 @@ def flash_attention(
     abq, abk = auto_blocks(s)
     block_q = abq if block_q is None else min(block_q, _round_up(s, LANES))
     block_k = abk if block_k is None else min(block_k, _round_up(s, LANES))
-    pv_chunks = _pv_chunk_policy(block_k)
+    int8_qk = use_int8_attn()
+    pv_chunks = _pv_chunk_policy(block_k, int8_qk)
     if c_factor is not None:
         mode = "cfactor"
         cbias = jnp.log(
@@ -1063,19 +1064,31 @@ def flash_attention(
         cos = sin = jnp.zeros((8, d), jnp.float32)
     return _flash_attention(
         q, k, v, cbias, cos, sin, cond_start, mode, block_q, block_k,
-        use_rope, interpret, layout == "bshd", use_int8_attn(), pv_chunks,
+        use_rope, interpret, layout == "bshd", int8_qk, pv_chunks,
     )
 
 
-def _pv_chunk_policy(block_k: int) -> int:
+def _pv_chunk_policy(block_k: int, int8_qk: bool = False) -> int:
     """How many key-axis chunks to software-pipeline the softmax+PV over
     (see `_fwd_kernel`).  LOONGX_FLASH_PV_CHUNKS overrides (0/1 disables);
     resolved at call time like the other serving knobs — trace-time capture,
-    flip only at process start.  Default 1 (off) pending an on-chip win."""
+    flip only at process start.
+
+    Default (measured on v5e, benchmarks/flash_pv_pipeline_sweep.py): the
+    largest lane-aligned divisor <= 4 on the int8-QK long-S full-row-kv
+    path, where the overlap wins — 1.805→1.781 ms at S=4352, 3.742→3.647
+    at 6656, 6.427→6.192 at 8704 (+1.3/+2.6/+3.7%); OFF for bf16 scores
+    (neutral-to-negative at every S) and for the <=2560 single-tile path
+    (0.582→0.590 ms at 2560)."""
     import os
 
     raw = os.environ.get("LOONGX_FLASH_PV_CHUNKS", "")
-    n = int(raw) if raw else 1
+    if raw:
+        n = int(raw)
+    elif int8_qk and block_k > 2560:
+        n = 4
+    else:
+        n = 1
     if n <= 1:
         return 1
     # shrink until the chunks are lane-aligned divisors of block_k

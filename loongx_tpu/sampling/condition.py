@@ -77,19 +77,27 @@ def synthesize_condition_image(condition_type: str, raw_img) -> Any:
     if condition_type in ("subject", "fill", "cartoon"):
         return raw_img.convert("RGB")
     if condition_type in ("depth", "depth_pred"):
-        try:
-            # in-framework JAX Depth-Anything for local checkouts
-            # ($LOONGX_DEPTH_MODEL); HF torch pipeline fallback for hub ids
-            from loongx_tpu.models.depth import depth_estimator
+        import os
 
+        # in-framework JAX Depth-Anything for local checkouts
+        # ($LOONGX_DEPTH_MODEL); HF torch pipeline fallback for hub ids
+        from loongx_tpu.models.depth import depth_estimator
+
+        try:
             est = depth_estimator()
-            return est(raw_img.convert("RGB"))["depth"].convert("RGB")
         except Exception as exc:  # no weights in zero-egress envs
-            raise RuntimeError(
-                "depth condition requires a local depth-estimation model "
-                "(point $LOONGX_DEPTH_MODEL at an HF checkout of "
+            hint = (
+                "failed to load the depth-estimation model from "
+                f"$LOONGX_DEPTH_MODEL={os.environ['LOONGX_DEPTH_MODEL']!r} "
+                "(unsupported variant or malformed checkpoint? see chained "
+                "cause)"
+                if os.environ.get("LOONGX_DEPTH_MODEL")
+                else "depth condition requires a local depth-estimation "
+                "model (point $LOONGX_DEPTH_MODEL at an HF checkout of "
                 "depth-anything)"
-            ) from exc
+            )
+            raise RuntimeError(hint) from exc
+        return est(raw_img.convert("RGB"))["depth"].convert("RGB")
     return raw_img
 
 

@@ -116,6 +116,11 @@ def test_resize2d_matches_torch_interpolate():
         ((3, 4), "linear", False),
         ((11, 9), "cubic", False),
         ((4, 3), "cubic", False),
+        # out dim of 1 under align_corners=True: torch samples source
+        # index 0 (scale is 0/0), not the half-pixel center
+        ((1, 1), "linear", True),
+        ((1, 4), "linear", True),
+        ((1, 1), "linear", False),
     ]:
         want = torch.nn.functional.interpolate(
             xt,
@@ -232,7 +237,7 @@ def test_estimator_matches_hf_pipeline_end_to_end(golden, tmp_path):
     proc.save_pretrained(path)
 
     est = DepthAnythingEstimator.from_pretrained(str(path))
-    assert est.size == 56 and est.ensure_multiple_of == 14
+    assert est.size == (56, 56) and est.ensure_multiple_of == 14
 
     img = Image.fromarray(
         (np.random.default_rng(6).random((70, 56, 3)) * 255).astype(np.uint8)
@@ -242,6 +247,48 @@ def test_estimator_matches_hf_pipeline_end_to_end(golden, tmp_path):
         want = model(**inputs).predicted_depth
     want = torch.nn.functional.interpolate(
         want[None], size=(70, 56), mode="bicubic", align_corners=False
+    )[0, 0]
+
+    got = est.predict_depth(img)
+    err = np.max(np.abs(got - want.numpy()))
+    assert err < 5e-4, f"max abs err {err:.2e}"
+
+
+def test_estimator_honors_processor_config(golden, tmp_path):
+    """Non-default preprocessor_config.json fields (bilinear resample,
+    do_normalize=False, non-square size) change preprocessing exactly like
+    the HF DPTImageProcessor — not silently ignored."""
+    from PIL import Image
+    from transformers import DPTImageProcessor
+
+    model, cfg, params = golden
+    path = tmp_path / "depth-anything-odd"
+    model.save_pretrained(path)
+    proc = DPTImageProcessor(
+        do_resize=True,
+        size={"height": 42, "width": 56},
+        keep_aspect_ratio=False,
+        ensure_multiple_of=14,
+        resample=2,  # bilinear
+        do_rescale=True,
+        do_normalize=False,
+        image_mean=[0.485, 0.456, 0.406],
+        image_std=[0.229, 0.224, 0.225],
+    )
+    proc.save_pretrained(path)
+
+    est = DepthAnythingEstimator.from_pretrained(str(path))
+    assert est.size == (42, 56)
+    assert est.resample == 2 and est.do_normalize is False
+
+    img = Image.fromarray(
+        (np.random.default_rng(7).random((64, 48, 3)) * 255).astype(np.uint8)
+    )
+    inputs = proc(images=img, return_tensors="pt")
+    with torch.no_grad():
+        want = model(**inputs).predicted_depth
+    want = torch.nn.functional.interpolate(
+        want[None], size=(64, 48), mode="bicubic", align_corners=False
     )[0, 0]
 
     got = est.predict_depth(img)

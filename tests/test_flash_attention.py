@@ -547,6 +547,16 @@ def test_pv_chunks_matches_unchunked():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
             )
+    # int8-QK scores + chunked PV (the default combination on the long-S
+    # serving path): chunking must not change the int8 result beyond the
+    # l-sum reassociation
+    base8 = _flash_fwd(q, k, v, cb, dummy, dummy, 192, "union",
+                       256, 256, False, True, int8_qk=True)
+    out8 = _flash_fwd(q, k, v, cb, dummy, dummy, 192, "union",
+                      256, 256, False, True, int8_qk=True, pv_chunks=2)
+    np.testing.assert_allclose(
+        np.asarray(base8), np.asarray(out8), atol=5e-4, rtol=5e-4
+    )
     # the public wrapper routes the env knob through the lane/divisor guard
     with mock.patch.dict(os.environ, {"LOONGX_FLASH_PV_CHUNKS": "8"}):
         assert _pv_chunk_policy(256) == 2       # 8,4 chunks not lane-aligned
@@ -555,3 +565,13 @@ def test_pv_chunks_matches_unchunked():
         assert _pv_chunk_policy(2560) == 5
     with mock.patch.dict(os.environ, {"LOONGX_FLASH_PV_CHUNKS": "0"}):
         assert _pv_chunk_policy(2560) == 1
+    # measured default (flash_pv_pipeline_sweep on v5e): chunk ONLY the
+    # int8-QK long-S full-row-kv path; bf16 and <=2560 tiles stay at 1
+    with mock.patch.dict(os.environ, {"LOONGX_FLASH_PV_CHUNKS": ""}):
+        assert _pv_chunk_policy(8704, int8_qk=True) == 4   # 2176-wide chunks
+        assert _pv_chunk_policy(4352, int8_qk=True) == 2   # 1088 not aligned
+        assert _pv_chunk_policy(2560, int8_qk=True) == 1   # single-tile path
+        assert _pv_chunk_policy(8704, int8_qk=False) == 1  # bf16 scores
+        # env override still beats the default either way
+    with mock.patch.dict(os.environ, {"LOONGX_FLASH_PV_CHUNKS": "1"}):
+        assert _pv_chunk_policy(8704, int8_qk=True) == 1
