@@ -86,6 +86,7 @@ def main():
     errors = []
     extras = {}
     stages = {}
+    enc = dgf = brain_sigs = cond_img = None
 
     lite = os.environ.get("BENCH_LITE") == "1"
     full = not lite
@@ -188,9 +189,12 @@ def main():
             stages["brain_encode_s"] = round(
                 _measure(brain, enc, dgf, eeg, ppg, fnirs, motion, iters=10), 4
             )
-            del enc, dgf
-            gc.collect()
+            # enc/dgf stay resident (~0.25 GB): deployed serving runs them
+            # per edit alongside the DiT, and the fused single-dispatch edit
+            # below needs them live
+            brain_sigs = (eeg, ppg, fnirs, motion)
         except Exception:  # noqa: BLE001
+            enc = dgf = brain_sigs = None
             errors.append(
                 "brain: " + traceback.format_exc(limit=3).strip().splitlines()[-1]
             )
@@ -301,6 +305,37 @@ def main():
             "edit: " + traceback.format_exc(limit=3).strip().splitlines()[-1]
         )
 
+    # --- fused single-dispatch edit: brain encode + cond VAE encode +
+    # denoise + decode as ONE program (sampling.generate.fused_edit_program,
+    # the neural_edit serving path).  On this remote-dispatch host each
+    # fused-away launch is ~20 ms of per-edit latency, so when it runs the
+    # headline e2e = text_encode + fused_edit; the separately-measured
+    # stages stay in extras as the breakdown. -------------------------------
+    fused_dt = None
+    if (
+        dt is not None and full and decode is not None
+        and enc is not None and cond_img is not None
+    ):
+        try:
+            from loongx_tpu.sampling.generate import fused_edit_program
+
+            def fused_edit(latents):
+                return fused_edit_program(
+                    flux_params, vae_params, enc, dgf, cond_img,
+                    *brain_sigs, latents, img_ids, cond_ids, sigmas,
+                    guidance, None, None,
+                    flux_cfg=cfg, vae_cfg=vae_cfg, flags=(),
+                    s4_mode="conv", attn_backend="auto",
+                    lat_h=lat_h, lat_w=lat_w,
+                )
+
+            fused_dt = _measure(fused_edit, latents)
+        except Exception:  # noqa: BLE001
+            errors.append(
+                "fused: "
+                + traceback.format_exc(limit=3).strip().splitlines()[-1]
+            )
+
     if dt is None and full:
         # last-resort fallback: the lite proxy, so the run still produces a
         # measured number rather than nothing
@@ -332,18 +367,26 @@ def main():
         return round(sum(x.size for x in jax.tree.leaves(p)) / 1e9, 2)
 
     # ------------------------------------------------------------------
-    # Assemble: headline = end-to-end (all measured stages summed);
-    # denoise+decode alone is kept in extras for cross-round continuity.
+    # Assemble: headline = end-to-end.  With the fused single-dispatch edit
+    # measured, e2e = text_encode + fused (brain+cond-vae+denoise+decode in
+    # one program — the neural_edit serving path); otherwise all measured
+    # stages summed.  The itemized stages and the denoise+decode-only number
+    # stay in extras for the breakdown and cross-round continuity.
     # ------------------------------------------------------------------
     upstream = sum(stages.values())
-    e2e = (dt + upstream) if dt else None
     all_stages_ran = dt is not None and len(stages) == 3
+    if fused_dt is not None and all_stages_ran:
+        e2e = stages["text_encode_s"] + fused_dt
+    else:
+        e2e = (dt + upstream) if dt else None
     scope = "end-to-end" if all_stages_ran else (
         "denoise+decode" if not stages else
         "partial e2e (" + "+".join(sorted(stages)) + "+denoise)"
     )
     if dt:
         stages["denoise_decode_s"] = round(dt, 4)
+        if fused_dt is not None:
+            stages["fused_edit_s"] = round(fused_dt, 4)
         extras["stages"] = stages
         extras["denoise_decode_edits_per_s"] = round(b / dt, 4)
 

@@ -64,7 +64,7 @@ def edit_one(
     inference.py:77-117)."""
     from PIL import Image
 
-    from loongx_tpu.sampling import Condition, generate
+    from loongx_tpu.sampling import Condition, generate, neural_edit
 
     img = Image.open(image_path).convert("RGB").resize(
         (target_size, target_size)
@@ -77,6 +77,32 @@ def edit_one(
     use_brain = any(
         brain.get(k) is not None for k in ("EEG", "FNIRS", "PPG", "Motion")
     )
+    if (
+        not fuse_flag
+        and brain.get("EEG") is not None
+        and brain.get("FNIRS") is not None
+    ):
+        # deployed replace mode with both embedding slots covered: brain
+        # encode + cond VAE encode + denoise + decode run as ONE dispatch
+        # (sampling.generate.neural_edit ≡ the generate() call below,
+        # tested in tests/test_generate.py)
+        out = neural_edit(
+            pipeline,
+            cond.condition,
+            eeg=brain.get("EEG"),
+            ppg=brain.get("PPG"),
+            fnirs=brain.get("FNIRS"),
+            motion=brain.get("Motion"),
+            condition_type=condition_type,
+            height=target_size,
+            width=target_size,
+            num_inference_steps=num_steps,
+            guidance_scale=guidance,
+            seed=seed,
+            position_delta=position_delta,
+            output_type="uint8",
+        )
+        return Image.fromarray(out[0])
     out = generate(
         pipeline,
         prompt=prompt,

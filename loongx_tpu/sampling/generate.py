@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 
 from loongx_tpu.models.flux.model import FluxConfig, flux_forward
-from loongx_tpu.models.flux.vae import vae_decode, unscale_latents
+from loongx_tpu.models.flux.vae import (
+    vae_decode, vae_encode, vae_sample, scale_latents, unscale_latents,
+)
 from loongx_tpu.models.encoders import (
     eeg_encode, ppg_encode, fnirs_encode, motion_encode,
 )
@@ -38,7 +40,7 @@ from loongx_tpu.models.fusion import (
     fuse_eeg_ppg, fuse_fnirs_motion, fuse_text_infer, fuse_text_train,
 )
 from loongx_tpu.ops.latents import (
-    latent_image_ids, pack_latents, unpack_latents,
+    latent_image_ids, pack_latents, shift_ids, unpack_latents,
 )
 from loongx_tpu.ops.schedule import flux_sigmas, euler_step
 from loongx_tpu.sampling.condition import Condition
@@ -535,6 +537,223 @@ def generate(
     lat = unpack_latents(out, lat_h, lat_w)
     lat = unscale_latents(pipeline.vae_cfg, lat).astype(pipeline.dtype)
     images = vae_decode(pipeline.params["vae"], pipeline.vae_cfg, lat)
+    images = np.asarray(images.astype(jnp.float32))
+    if output_type == "uint8":
+        images = ((np.clip(images, -1, 1) + 1) * 127.5).round().astype(np.uint8)
+    return images
+
+
+# ---------------------------------------------------------------------------
+# Single-dispatch deployed edit: the whole on-device side of the reference's
+# neural edit (inference.py:77-117 minus the text encode, which the deployed
+# replace mode overwrites anyway) as ONE jitted program.
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "flux_cfg", "vae_cfg", "flags", "s4_mode", "attn_backend",
+        "lat_h", "lat_w",
+    ),
+)
+def fused_edit_program(
+    flux_params,
+    vae_params,
+    enc,
+    dgf,
+    cond_img: jnp.ndarray,
+    eeg,
+    ppg,
+    fnirs,
+    motion,
+    latents: jnp.ndarray,
+    img_ids: jnp.ndarray,
+    cond_ids: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    guidance,
+    c_factor,
+    cond_key,
+    *,
+    flux_cfg: FluxConfig,
+    vae_cfg,
+    flags: Tuple[Tuple[str, Any], ...],
+    s4_mode: str,
+    attn_backend: str,
+    lat_h: int,
+    lat_w: int,
+) -> jnp.ndarray:
+    """CS3+DGF brain encode (replace mode) + condition-image VAE encode +
+    denoise scan + VAE decode, fused into one program — one host->device
+    dispatch per edit instead of four.  Numerically identical to the staged
+    path generate() runs (tested in tests/test_generate.py); on
+    remote-dispatch hosts each saved launch is ~20 ms of edit latency.
+
+    ``cond_img``: [B, H, W, 3] in [-1, 1].  ``cond_key``: latent-dist
+    sampling key (None = deterministic mean).  Brain embeds REPLACE the
+    text embeds (the deployed fuse_flag=False mode, reference
+    inference.py:115): eeg(+ppg) -> prompt slot, fnirs(+motion) -> pooled.
+    """
+    dtype = latents.dtype
+    brain_prompt, brain_pooled = _brain_encode_jit(
+        enc, dgf, eeg, ppg, fnirs, motion, s4_mode
+    )
+    prompt_embeds = brain_prompt.astype(dtype)
+    pooled = brain_pooled.astype(dtype)
+    b = latents.shape[0]
+    if prompt_embeds.shape[0] == 1 and b > 1:
+        prompt_embeds = jnp.broadcast_to(
+            prompt_embeds, (b,) + prompt_embeds.shape[1:]
+        )
+        pooled = jnp.broadcast_to(pooled, (b,) + pooled.shape[1:])
+    txt_ids = jnp.zeros((prompt_embeds.shape[1], 3), jnp.float32)
+
+    mean, logvar = vae_encode(vae_params, vae_cfg, cond_img.astype(dtype))
+    lat = vae_sample(mean, logvar, cond_key) if cond_key is not None else mean
+    cond_tokens = pack_latents(scale_latents(vae_cfg, lat)).astype(dtype)
+    if cond_tokens.shape[0] == 1 and b > 1:
+        cond_tokens = jnp.broadcast_to(
+            cond_tokens, (b,) + cond_tokens.shape[1:]
+        )
+
+    out = denoise_scan(
+        flux_params, flux_cfg, flags, latents, prompt_embeds, pooled,
+        img_ids, txt_ids, cond_tokens, cond_ids, sigmas, guidance, c_factor,
+        attn_backend=attn_backend,
+    )
+    lat = unpack_latents(out, lat_h, lat_w)
+    lat = unscale_latents(vae_cfg, lat).astype(dtype)
+    return vae_decode(vae_params, vae_cfg, lat)
+
+
+def neural_edit(
+    pipeline,
+    cond_image,
+    *,
+    eeg=None,
+    ppg=None,
+    fnirs=None,
+    motion=None,
+    condition_type: str = "eeg+fnirs",
+    height: int = 512,
+    width: int = 512,
+    num_inference_steps: int = 28,
+    guidance_scale: float = 3.5,
+    seed: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    position_delta: Optional[Tuple[int, int]] = None,
+    position_scale: float = 1.0,
+    condition_scale: float = 1.0,
+    model_config: Optional[Dict[str, Any]] = None,
+    attn_backend: str = "auto",
+    s4_mode: str = "conv",
+    output_type: str = "np",
+):
+    """The deployed neural edit (replace mode) as a single device dispatch.
+
+    Equivalent to ``generate(use_brain_condition=True, fuse_flag=False,
+    neural_only=True, conditions=[Condition(condition_type,
+    condition=cond_image, eeg=..., ...)])`` — the reference's deployed
+    operating point (inference.py:99-115) — but brain encode, condition
+    VAE encode, denoise and decode run as ONE jitted program
+    (`fused_edit_program`).  Use generate() for fuse mode, text prompts,
+    partial signal sets, or precomputed embeddings.
+
+    ``cond_image``: PIL image or array [H, W, 3] / [B, H, W, 3] in [-1, 1].
+    Requires BOTH slot sources: eeg (prompt slot) and fnirs (pooled slot) —
+    a missing slot would silently denoise on garbage, exactly the failure
+    generate() refuses too.
+    """
+    if eeg is None or fnirs is None:
+        raise ValueError(
+            "neural_edit requires both eeg (prompt slot) and fnirs (pooled "
+            "slot): the fused replace mode has no text embeds to back a "
+            "missing slot. Use generate() for partial signal sets."
+        )
+    if condition_scale <= 0:
+        raise ValueError(
+            f"condition_scale={condition_scale} must be > 0 (log bias)"
+        )
+    if output_type not in ("np", "uint8"):
+        raise ValueError(
+            f"output_type={output_type!r} — must be 'np' or 'uint8' (the "
+            "fused program always decodes; use generate() for latents)"
+        )
+    vae_scale = pipeline.vae_cfg.downscale
+    if height % (2 * vae_scale) or width % (2 * vae_scale):
+        raise ValueError(
+            f"height/width must be multiples of {2 * vae_scale}, got "
+            f"{height}x{width}"
+        )
+    enc = pipeline.params.get("encoders")
+    if enc is None:
+        raise RuntimeError("pipeline has no biosignal encoders")
+    dgf = pipeline.params.get("dgf")
+    if dgf is None and (
+        (eeg is not None and ppg is not None)
+        or (fnirs is not None and motion is not None)
+    ):
+        raise RuntimeError(
+            "pipeline.params has no 'dgf' fusion module but the given "
+            "signal pairs require pairwise DGF fusion (partial checkpoint?)"
+        )
+    # per-condition-type adapter switch, same policy as generate()
+    if pipeline.adapters is not None:
+        if condition_type in pipeline.adapters:
+            pipeline.set_adapters(condition_type)
+        elif pipeline.active_adapter is not None:
+            pipeline.params["flux"] = pipeline.adapters.deactivate(
+                pipeline.params["flux"]
+            )
+            pipeline.active_adapter = None
+
+    from loongx_tpu.sampling.condition import _to_numpy_image
+
+    img = _to_numpy_image(cond_image)  # PIL or array; uint8 -> [-1, 1]
+    if img.ndim == 3:
+        img = img[None]
+
+    to_arr = lambda x: None if x is None else jnp.asarray(x, pipeline.dtype)
+    eeg, ppg, fnirs, motion = map(to_arr, (eeg, ppg, fnirs, motion))
+    b = max(eeg.shape[0], fnirs.shape[0])
+
+    if key is None:
+        key = jax.random.key(0 if seed is None else seed)
+    k_lat, k_enc = jax.random.split(key)
+    lat_h, lat_w = height // vae_scale, width // vae_scale
+    latents = jax.random.normal(
+        k_lat,
+        (b, lat_h // 2, lat_w // 2, pipeline.flux_cfg.in_channels),
+        jnp.float32,
+    ).reshape(b, (lat_h // 2) * (lat_w // 2), pipeline.flux_cfg.in_channels)
+    latents = latents.astype(pipeline.dtype)
+
+    img_ids = latent_image_ids(lat_h, lat_w)
+    c_lat_h = img.shape[1] // vae_scale
+    c_lat_w = img.shape[2] // vae_scale
+    cond_ids = shift_ids(
+        latent_image_ids(c_lat_h, c_lat_w),
+        position_delta or (0, 0),
+        position_scale,
+    )
+    sigmas = jnp.asarray(flux_sigmas(num_inference_steps, latents.shape[1]))
+    guidance = (
+        jnp.full((b,), guidance_scale, jnp.float32)
+        if pipeline.flux_cfg.guidance_embeds
+        else None
+    )
+    c_factor = (
+        jnp.float32(condition_scale) if condition_scale != 1.0 else None
+    )
+
+    images = fused_edit_program(
+        pipeline.params["flux"], pipeline.params["vae"], enc, dgf,
+        jnp.asarray(img), eeg, ppg, fnirs, motion, latents, img_ids,
+        cond_ids, sigmas, guidance, c_factor, k_enc,
+        flux_cfg=pipeline.flux_cfg, vae_cfg=pipeline.vae_cfg,
+        flags=_flags_tuple(model_config), s4_mode=s4_mode,
+        attn_backend=attn_backend, lat_h=lat_h, lat_w=lat_w,
+    )
     images = np.asarray(images.astype(jnp.float32))
     if output_type == "uint8":
         images = ((np.clip(images, -1, 1) + 1) * 127.5).round().astype(np.uint8)

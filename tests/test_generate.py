@@ -479,3 +479,97 @@ class TestInputValidation:
                 pipe2, eeg=np.zeros((1, 4, 16), np.float32),
                 ppg=np.zeros((1, 4, 16), np.float32),
             )
+
+
+class TestNeuralEditFused:
+    """neural_edit (the single-dispatch fused edit program) must reproduce
+    generate()'s deployed replace-mode path exactly."""
+
+    def _stub_brain(self, gen_mod, monkeypatch, joint_dim, pooled_dim):
+        # the real CS3 encoders emit [B,512,4096]/[B,768] (reference
+        # contract) — too big for the tiny flux; a deterministic stub that
+        # depends on the signals exercises the full wiring on both paths
+        def fake(enc, dgf, eeg, ppg, fnirs, motion, s4_mode):
+            bp = jnp.mean(eeg, axis=(1, 2))[:, None, None] + jnp.arange(
+                8 * joint_dim, dtype=jnp.float32
+            ).reshape(1, 8, joint_dim) / (8 * joint_dim)
+            pl = jnp.mean(fnirs, axis=(1, 2))[:, None] + jnp.arange(
+                pooled_dim, dtype=jnp.float32
+            )[None] / pooled_dim
+            return bp, pl
+
+        monkeypatch.setattr(gen_mod, "_brain_encode_jit", fake)
+
+    def test_matches_generate_replace_mode(self, monkeypatch):
+        import importlib
+
+        from PIL import Image
+
+        gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+        pipe = LoongXPipeline.tiny(jax.random.key(3))
+        pipe.params["encoders"] = {"eeg": {}, "fnirs": {}}
+        self._stub_brain(
+            gen_mod, monkeypatch, pipe.flux_cfg.joint_dim,
+            pipe.flux_cfg.pooled_dim,
+        )
+        rng = np.random.default_rng(11)
+        img = Image.fromarray(
+            (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        )
+        eeg = rng.standard_normal((1, 4, 16)).astype(np.float32)
+        fnirs = rng.standard_normal((1, 6, 16)).astype(np.float32)
+        kw = dict(
+            height=16, width=16, num_inference_steps=2, guidance_scale=3.5,
+            key=jax.random.key(7), attn_backend="xla",
+        )
+
+        want = gen_mod.generate(
+            pipe,
+            conditions=[
+                Condition("eeg+fnirs", condition=img, eeg=eeg, fnirs=fnirs)
+            ],
+            use_brain_condition=True, fuse_flag=False, neural_only=True,
+            **kw,
+        )
+        got = gen_mod.neural_edit(pipe, img, eeg=eeg, fnirs=fnirs, **kw)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def test_condition_scale_and_uint8(self, monkeypatch):
+        import importlib
+
+        from PIL import Image
+
+        gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+        pipe = LoongXPipeline.tiny(jax.random.key(4))
+        pipe.params["encoders"] = {"eeg": {}, "fnirs": {}}
+        self._stub_brain(
+            gen_mod, monkeypatch, pipe.flux_cfg.joint_dim,
+            pipe.flux_cfg.pooled_dim,
+        )
+        rng = np.random.default_rng(12)
+        img = Image.fromarray((rng.random((16, 16, 3)) * 255).astype(np.uint8))
+        eeg = rng.standard_normal((1, 4, 16)).astype(np.float32)
+        fnirs = rng.standard_normal((1, 6, 16)).astype(np.float32)
+        kw = dict(height=16, width=16, num_inference_steps=1, seed=1,
+                  attn_backend="xla")
+        base = gen_mod.neural_edit(pipe, img, eeg=eeg, fnirs=fnirs, **kw)
+        scaled = gen_mod.neural_edit(
+            pipe, img, eeg=eeg, fnirs=fnirs, condition_scale=2.0, **kw
+        )
+        assert not np.allclose(base, scaled)
+        u8 = gen_mod.neural_edit(
+            pipe, img, eeg=eeg, fnirs=fnirs, output_type="uint8", **kw
+        )
+        assert u8.dtype == np.uint8
+
+    def test_missing_slot_rejected(self):
+        pipe = LoongXPipeline.tiny(jax.random.key(5))
+        pipe.params["encoders"] = {"eeg": {}}
+        from loongx_tpu.sampling import neural_edit
+
+        with pytest.raises(ValueError, match="fnirs"):
+            neural_edit(
+                pipe, np.zeros((16, 16, 3), np.float32),
+                eeg=np.zeros((1, 4, 16), np.float32),
+                height=16, width=16, num_inference_steps=1,
+            )

@@ -5,6 +5,7 @@ import os
 import pickle
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -90,3 +91,45 @@ def test_batch_edit_groups(tiny_pipe, tmp_path):
     batch_edit(tiny_pipe, Args, {}, {})
     outs = sorted(os.listdir(out_dir))
     assert outs == sorted(names)
+
+
+def test_edit_one_brain_fast_path(tiny_pipe, tmp_path, monkeypatch):
+    """With EEG+FNIRS and fuse_flag=False, edit_one routes through the
+    single-dispatch neural_edit program and still returns a PIL image."""
+    import importlib
+
+    gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+    jd, pd = tiny_pipe.flux_cfg.joint_dim, tiny_pipe.flux_cfg.pooled_dim
+
+    def fake(enc, dgf, eeg, ppg, fnirs, motion, s4_mode):
+        bp = jnp.mean(eeg) + jnp.zeros((1, 8, jd), jnp.float32)
+        pl = jnp.mean(fnirs) + jnp.zeros((1, pd), jnp.float32)
+        return bp, pl
+
+    monkeypatch.setattr(gen_mod, "_brain_encode_jit", fake)
+    tiny_pipe.params["encoders"] = {"eeg": {}, "fnirs": {}}
+
+    from loongx_tpu.cli.infer import edit_one
+
+    in_dir, names = _make_inputs(tmp_path, 1)
+    called = {}
+    real = gen_mod.neural_edit
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(
+        importlib.import_module("loongx_tpu.sampling"), "neural_edit", spy
+    )
+    monkeypatch.setattr(gen_mod, "neural_edit", spy)
+    img = edit_one(
+        tiny_pipe, os.path.join(in_dir, names[0]), "make it blue",
+        condition_type="subject", target_size=16, num_steps=1,
+        brain={
+            "EEG": np.zeros((1, 4, 16), np.float32),
+            "FNIRS": np.zeros((1, 6, 16), np.float32),
+        },
+    )
+    assert img.size == (16, 16)
+    assert called.get("yes"), "fast path not taken"
