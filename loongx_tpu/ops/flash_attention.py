@@ -104,13 +104,14 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
         # (1280, 2560) — the fp32 scores tile (26 MB at 2560) fits the
         # raised VMEM budget (benchmarks/flash_tile_sweep.py)
         return s128, s128
-    if s128 % MAX_BLOCK_K == 0:
-        return MAX_BLOCK_Q, MAX_BLOCK_K
     # long sequences: FULL-ROW kv tiles — one exact softmax pass per q tile
     # (no online rescale), and the int8-QK scratch cache quantizes K once
     # per (b, h).  Measured 144.9 vs 138.0 TF/s over the previous 512x4352
     # online-softmax tiles at S=8704 (the 1024px point; wider 1024-row q
-    # tiles are invalid there — 1024 does not divide 8704).
+    # tiles are invalid there — 1024 does not divide 8704), and 147.7 vs
+    # 140.2 over the old (1280, 2560) square tiling at S=5120 (the 768px
+    # point — exact-2560-multiple lengths used to early-exit to square
+    # tiles; SWEEP_S=5120 benchmarks/flash_long_s_sweep.py refuted that).
     if 512 * s128 * 4 <= FULLROW_SCORES_BYTES:
         # 128-row q tiles would shrink the MXU M-dim 4x below anything
         # measured — lengths divisible by none of these fall through to
@@ -118,6 +119,10 @@ def auto_blocks(seq_len: int) -> Tuple[int, int]:
         for bq in (512, 384, 256):
             if s128 % bq == 0:  # the grid needs block_q | padded length
                 return bq, s128
+    if s128 % MAX_BLOCK_K == 0:
+        # full-row scores tile too big (or no dividing q tile): exact-2560-
+        # multiple lengths tile squarely with no padding
+        return MAX_BLOCK_Q, MAX_BLOCK_K
     # scores tile too big for full-row: narrow-q x wide-kv online softmax
     # (measured 126 vs 117 TF/s over square 1280 tiles at S=8704)
     long_bk = 4352  # 512x4352 fp32 scores tile = 8.9 MB VMEM
