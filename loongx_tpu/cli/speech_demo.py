@@ -31,15 +31,30 @@ def _read_audio(audio_path: str, target_rate: int = 16000):
         import soundfile as sf  # type: ignore
 
         audio, rate = sf.read(audio_path, dtype="float32")
-    except ImportError:
+    except (ImportError, OSError):
+        # OSError: soundfile installed but libsndfile missing
         import wave
 
         with wave.open(audio_path, "rb") as w:
             rate = w.getframerate()
-            raw = np.frombuffer(
-                w.readframes(w.getnframes()), dtype=np.int16
-            )
-            audio = (raw / 32768.0).astype(np.float32)
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+            if width == 2:
+                audio = np.frombuffer(frames, np.int16) / 32768.0
+            elif width == 1:  # unsigned 8-bit PCM
+                audio = (np.frombuffer(frames, np.uint8).astype(np.float32)
+                         - 128.0) / 128.0
+            elif width == 4:
+                audio = np.frombuffer(frames, np.int32) / 2147483648.0
+            elif width == 3:  # 24-bit PCM: widen to int32
+                raw = np.frombuffer(frames, np.uint8).reshape(-1, 3)
+                as32 = (raw[:, 0].astype(np.uint32)
+                        | (raw[:, 1].astype(np.uint32) << 8)
+                        | (raw[:, 2].astype(np.uint32) << 16))
+                audio = (as32.astype(np.int32) << 8 >> 8) / 8388608.0
+            else:
+                raise ValueError(f"unsupported wav sample width {width}")
+            audio = audio.astype(np.float32)
             if w.getnchannels() > 1:
                 audio = audio.reshape(-1, w.getnchannels())
     if audio.ndim > 1:
@@ -75,7 +90,12 @@ def transcribe(
     else:
         import whisper  # type: ignore
 
-        model = whisper.load_model(whisper_path)
+        # openai-whisper's load_model takes short names ("large") or a .pt
+        # path — map HF-style ids like "openai/whisper-large" onto them
+        name = whisper_path
+        if "/" in name and not os.path.exists(name):
+            name = name.rsplit("/", 1)[-1].removeprefix("whisper-")
+        model = whisper.load_model(name)
         result = model.transcribe(audio_path, language=language)
         text = result["text"].strip()
     if translate_path and language != "en":
@@ -109,7 +129,8 @@ def record_audio(seconds: float = 5.0, sample_rate: int = 16000) -> str:
         int(seconds * sample_rate), samplerate=sample_rate, channels=1
     )
     sd.wait()
-    path = tempfile.mktemp(suffix=".wav")
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
     sf.write(path, audio, sample_rate)
     return path
 
@@ -133,8 +154,10 @@ def speech_edit(
     from loongx_tpu.cli.infer import edit_one
 
     transcriber = transcriber or transcribe
-    audio = audio_path or record_audio(record_seconds)
     try:
+        # recording failures (no sounddevice on a headless host) must also
+        # fall back to --prompt, not just transcription failures
+        audio = audio_path or record_audio(record_seconds)
         prompt = transcriber(audio)
         print(f"[speech] instruction: {prompt!r}")
     except Exception as exc:

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from loongx_tpu.ops.nn import (
-    Params, init_layer_norm, init_linear, layer_norm, qdot,
+    Params, init_layer_norm, init_linear, layer_norm, linear, qdot,
 )
 
 
@@ -144,16 +144,17 @@ def _ln(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return layer_norm(x, p["weight"], p["bias"], eps)
 
 
+def _heads(y: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, d = y.shape
+    return y.reshape(b, s, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
 def _attention(attn, x_q, x_kv, num_heads, bias=None):
     b, s_q, d = x_q.shape
     scale = (d // num_heads) ** -0.5
 
     def proj(p, t):
-        y = qdot(p, t) + p["bias"].astype(jnp.float32)
-        y = y.astype(t.dtype)
-        return y.reshape(*y.shape[:2], num_heads, d // num_heads).transpose(
-            0, 2, 1, 3
-        )
+        return _heads(linear(p, t), num_heads)
 
     q = proj(attn["q"], x_q) * scale
     k, v = proj(attn["k"], x_kv), proj(attn["v"], x_kv)
@@ -165,8 +166,7 @@ def _attention(attn, x_q, x_kv, num_heads, bias=None):
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                      preferred_element_type=jnp.float32).astype(x_q.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, s_q, d)
-    return (qdot(attn["o"], out)
-            + attn["o"]["bias"].astype(jnp.float32)).astype(x_q.dtype)
+    return linear(attn["o"], out)
 
 
 def _embed(params: Params, cfg: MarianConfig, ids: jnp.ndarray) -> jnp.ndarray:
@@ -258,7 +258,11 @@ def marian_greedy_decode(
         logits = marian_decode_logits(
             params, cfg, enc_out, buf, attention_mask
         )
-        nxt = jnp.argmax(logits[:, pos - 1], axis=-1).astype(jnp.int32)
+        # HF MarianMTModel.generate suppresses pad (opus-mt configs ship
+        # bad_words_ids=[[pad_token_id]]); without this the argmax can emit
+        # pad mid-sequence and diverge from the transformers path
+        row = logits[:, pos - 1].at[:, cfg.pad_token_id].set(-jnp.inf)
+        nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         done = done | (nxt == cfg.eos_token_id)
         return (buf.at[:, pos].set(nxt), done), None
@@ -283,20 +287,25 @@ class MarianTranslator:
         from transformers import MarianTokenizer
 
         from loongx_tpu.utils.convert import (
-            convert_marian_state, load_safetensors_dir,
+            convert_marian_state, load_torch_or_safetensors_dir,
         )
 
         with open(os.path.join(path, "config.json")) as f:
             cfg = MarianConfig.from_hf(json.load(f))
         params = convert_marian_state(
-            load_safetensors_dir(path), cfg, dtype=dtype
+            load_torch_or_safetensors_dir(path), cfg, dtype=dtype
         )
         return MarianTranslator(
             params, cfg, MarianTokenizer.from_pretrained(path)
         )
 
     def translate(self, text: str, max_new_tokens: int = 64) -> str:
-        enc = self.tokenizer([text], return_tensors="np", padding=True)
+        # pad_to_multiple_of buckets the source length so repeated calls at
+        # varying sentence lengths reuse a handful of compiled shapes
+        # instead of retracing the encoder + decoder scan per length
+        enc = self.tokenizer(
+            [text], return_tensors="np", padding=True, pad_to_multiple_of=16
+        )
         out = np.asarray(jax.jit(
             marian_greedy_decode, static_argnums=(1, 4)
         )(

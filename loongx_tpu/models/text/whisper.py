@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from loongx_tpu.ops.nn import (
-    Params, init_layer_norm, init_linear, layer_norm, qdot,
+    Params, init_layer_norm, init_linear, layer_norm, linear, qdot,
 )
 
 
@@ -268,15 +268,9 @@ def _attention(
     """Pre-scaled-q attention (HF Whisper convention: q *= head_dim^-0.5)."""
     b, s_q, d = x_q.shape
     scale = (d // num_heads) ** -0.5
-
-    def proj(p, t):
-        y = qdot(p, t)
-        if "bias" in p:
-            y = y + p["bias"].astype(jnp.float32)
-        return _heads(y.astype(t.dtype), num_heads)
-
-    q = proj(attn["q"], x_q) * scale
-    k, v = proj(attn["k"], x_kv), proj(attn["v"], x_kv)
+    q = _heads(linear(attn["q"], x_q), num_heads) * scale
+    k = _heads(linear(attn["k"], x_kv), num_heads)
+    v = _heads(linear(attn["v"], x_kv), num_heads)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     if bias is not None:
@@ -285,8 +279,7 @@ def _attention(
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                      preferred_element_type=jnp.float32).astype(x_q.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, s_q, d)
-    return (qdot(attn["o"], out)
-            + attn["o"]["bias"].astype(jnp.float32)).astype(x_q.dtype)
+    return linear(attn["o"], out)
 
 
 def _mlp(blk: Params, h: jnp.ndarray) -> jnp.ndarray:
@@ -294,8 +287,7 @@ def _mlp(blk: Params, h: jnp.ndarray) -> jnp.ndarray:
         (qdot(blk["fc1"], h) + blk["fc1"]["bias"].astype(jnp.float32)),
         approximate=False,
     ).astype(h.dtype)
-    return (qdot(blk["fc2"], y)
-            + blk["fc2"]["bias"].astype(jnp.float32)).astype(h.dtype)
+    return linear(blk["fc2"], y)
 
 
 def _ln(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -373,10 +365,18 @@ def whisper_greedy_decode(
     features: jnp.ndarray,
     prompt_ids: jnp.ndarray,
     max_new_tokens: int = 64,
+    suppress_ids: Optional[jnp.ndarray] = None,
+    begin_suppress_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Greedy transcription: features [B, mel, frames] + forced prompt
     [B, P] (<|startoftranscript|>, language, task, <|notimestamps|>) ->
-    token buffer [B, P + max_new_tokens], eos-padded."""
+    token buffer [B, P + max_new_tokens], eos-padded.
+
+    ``suppress_ids``: token ids masked to -inf at EVERY generated position
+    (HF generation_config.suppress_tokens — special/timestamp tokens);
+    ``begin_suppress_ids``: additionally masked at the FIRST generated
+    position only (HF begin_suppress_tokens, typically [" ", eos] — stops
+    quiet audio from emitting eos immediately)."""
     enc_out = whisper_encode(params, cfg, features)
     b, p = prompt_ids.shape
     total = min(p + max_new_tokens, cfg.max_target_positions)
@@ -386,7 +386,16 @@ def whisper_greedy_decode(
     def step(carry, pos):
         buf, done = carry
         logits = whisper_decode_logits(params, cfg, enc_out, buf)
-        nxt = jnp.argmax(logits[:, pos - 1], axis=-1).astype(jnp.int32)
+        row = logits[:, pos - 1]
+        if suppress_ids is not None:
+            row = row.at[:, suppress_ids].set(-jnp.inf)
+        if begin_suppress_ids is not None:
+            row = jnp.where(
+                pos == p,
+                row.at[:, begin_suppress_ids].set(-jnp.inf),
+                row,
+            )
+        nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.eos_token_id, nxt)
         done = done | (nxt == cfg.eos_token_id)
         return (buf.at[:, pos].set(nxt), done), None
@@ -406,8 +415,11 @@ class WhisperASR:
     """Audio file -> text against a local HF-layout Whisper checkout
     (config.json + *.safetensors + tokenizer files)."""
 
-    def __init__(self, params: Params, cfg: WhisperConfig, tokenizer):
+    def __init__(self, params: Params, cfg: WhisperConfig, tokenizer,
+                 suppress_tokens=None, begin_suppress_tokens=None):
         self.params, self.cfg, self.tokenizer = params, cfg, tokenizer
+        self.suppress_tokens = suppress_tokens
+        self.begin_suppress_tokens = begin_suppress_tokens
         self.mel_filters = jnp.asarray(mel_filter_bank(
             cfg.n_fft // 2 + 1, cfg.num_mel_bins, cfg.sampling_rate,
             cfg.sampling_rate / 2.0,
@@ -421,15 +433,30 @@ class WhisperASR:
         from transformers import WhisperTokenizer
 
         from loongx_tpu.utils.convert import (
-            convert_whisper_state, load_safetensors_dir,
+            convert_whisper_state, load_torch_or_safetensors_dir,
         )
 
         with open(os.path.join(path, "config.json")) as f:
-            cfg = WhisperConfig.from_hf(json.load(f))
+            raw_cfg = json.load(f)
+        cfg = WhisperConfig.from_hf(raw_cfg)
         params = convert_whisper_state(
-            load_safetensors_dir(path), cfg, dtype=dtype
+            load_torch_or_safetensors_dir(path), cfg, dtype=dtype
         )
-        return WhisperASR(params, cfg, WhisperTokenizer.from_pretrained(path))
+        # HF generate suppresses special/timestamp tokens; read the lists
+        # from generation_config.json (newer checkouts) or config.json
+        gen_cfg = {}
+        gen_path = os.path.join(path, "generation_config.json")
+        if os.path.exists(gen_path):
+            with open(gen_path) as f:
+                gen_cfg = json.load(f)
+        suppress = gen_cfg.get("suppress_tokens", raw_cfg.get("suppress_tokens"))
+        begin = gen_cfg.get(
+            "begin_suppress_tokens", raw_cfg.get("begin_suppress_tokens")
+        )
+        return WhisperASR(
+            params, cfg, WhisperTokenizer.from_pretrained(path),
+            suppress_tokens=suppress, begin_suppress_tokens=begin,
+        )
 
     def _prompt_ids(self, language: str, task: str) -> np.ndarray:
         tok = self.tokenizer.convert_tokens_to_ids
@@ -447,9 +474,13 @@ class WhisperASR:
             self.mel_filters,
         )
         prompt = jnp.asarray(self._prompt_ids(language, task))
+        sup = (jnp.asarray(self.suppress_tokens, jnp.int32)
+               if self.suppress_tokens else None)
+        begin = (jnp.asarray(self.begin_suppress_tokens, jnp.int32)
+                 if self.begin_suppress_tokens else None)
         out = np.asarray(jax.jit(
             whisper_greedy_decode, static_argnums=(1, 4)
-        )(self.params, self.cfg, feats, prompt, max_new_tokens))
+        )(self.params, self.cfg, feats, prompt, max_new_tokens, sup, begin))
         return self.tokenizer.decode(
             out[0, prompt.shape[1]:], skip_special_tokens=True
         ).strip()

@@ -334,11 +334,18 @@ def test_marian_translator_wrapper():
     _, params, cfg = _marian_pair()
 
     class FakeTok:
-        def __call__(self, texts, return_tensors="np", padding=True):
-            ids = np.asarray(
-                [[ord(c) % 90 for c in texts[0][:6]] + [cfg.eos_token_id]]
-            )
-            return {"input_ids": ids, "attention_mask": np.ones_like(ids)}
+        def __call__(self, texts, return_tensors="np", padding=True,
+                     pad_to_multiple_of=None):
+            ids = [ord(c) % 90 for c in texts[0][:6]] + [cfg.eos_token_id]
+            mask = [1] * len(ids)
+            if pad_to_multiple_of:
+                while len(ids) % pad_to_multiple_of:
+                    ids.append(cfg.pad_token_id)
+                    mask.append(0)
+            return {
+                "input_ids": np.asarray([ids]),
+                "attention_mask": np.asarray([mask]),
+            }
 
         def decode(self, ids, skip_special_tokens=True):
             return " ".join(
@@ -350,3 +357,63 @@ def test_marian_translator_wrapper():
     tr = MarianTranslator(params, cfg, FakeTok())
     out = tr.translate("hello there", max_new_tokens=5)
     assert isinstance(out, str)
+
+
+def test_whisper_suppress_tokens():
+    """suppress_ids never appear in generated positions; begin_suppress_ids
+    are blocked at the FIRST generated position only (HF generate
+    semantics: begin_suppress_tokens stops instant-eos on quiet audio)."""
+    from loongx_tpu.models.text.whisper import whisper_greedy_decode
+
+    _, params, cfg = _whisper_pair()
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.standard_normal(
+        (1, cfg.num_mel_bins, 2 * cfg.max_source_positions)
+    ).astype(np.float32))
+    prompt = jnp.asarray([[cfg.decoder_start_token_id]], jnp.int32)
+
+    base = np.asarray(whisper_greedy_decode(
+        params, cfg, feats, prompt, max_new_tokens=6
+    ))[0]
+    t0 = int(base[1])
+    assert t0 != cfg.eos_token_id  # random tiny model emits real tokens
+
+    # global suppression: t0 must vanish from every generated position
+    sup = np.asarray(whisper_greedy_decode(
+        params, cfg, feats, prompt, max_new_tokens=6,
+        suppress_ids=jnp.asarray([t0], jnp.int32),
+    ))[0]
+    assert t0 not in sup[1:].tolist()
+
+    # begin suppression: first generated token changes, but t0 may
+    # reappear later (mask applies to position p only)
+    begin = np.asarray(whisper_greedy_decode(
+        params, cfg, feats, prompt, max_new_tokens=6,
+        begin_suppress_ids=jnp.asarray([t0], jnp.int32),
+    ))[0]
+    assert int(begin[1]) != t0
+
+
+def test_marian_pad_never_emitted():
+    """The pad token is masked at every step (HF opus-mt ships
+    bad_words_ids=[[pad]]): re-labelling the baseline's first generated
+    token as pad must remove it from the decode."""
+    import dataclasses
+
+    from loongx_tpu.models.text.marian import marian_greedy_decode
+
+    _, params, cfg = _marian_pair()
+    rng = np.random.default_rng(8)
+    src = jnp.asarray(rng.integers(0, cfg.vocab_size - 1, size=(1, 8)))
+    mask = jnp.ones_like(src)
+
+    base = np.asarray(marian_greedy_decode(params, cfg, src, mask, 6))[0]
+    t0 = int(base[1])
+    assert t0 != cfg.eos_token_id
+    cfg2 = dataclasses.replace(cfg, pad_token_id=t0)
+    out = np.asarray(marian_greedy_decode(params, cfg2, src, mask, 6))[0]
+    gen = out[1:].tolist()
+    # t0 may only appear as post-eos padding fill, never as a real token
+    if cfg2.eos_token_id in gen:
+        gen = gen[: gen.index(cfg2.eos_token_id)]
+    assert t0 not in gen
