@@ -14,6 +14,18 @@ The headline value is edits/sec over the SUM of all stage latencies; the
 per-stage breakdown is itemized in the JSON extras, along with the
 denoise+decode-only number for continuity with earlier rounds.
 
+Composition nuance (stated so the summed pipeline is read correctly): the
+text encoders are measured RESIDENT and then freed before the DiT
+allocation — the staged single-chip recipe.  At steady state on one chip
+the 12B int8 DiT and the int8 T5-XXL cannot be co-resident, so a per-edit
+text encode beside the DiT is not physically possible; deployed replace
+mode doesn't need it (generate() skips the dead text encode when brain
+embeds cover both slots), so including its cost in the headline sum is
+conservative.  Run-to-run variance on the shared chip is reported as
+``repeat_band_s`` = [min, max] seconds over the BENCH_ITERS timed repeats
+of the headline stage, so a single sample isn't over-read (historical
+band: ~0.208-0.216 e2e edits/sec).
+
 By default benchmarks the FULL FLUX.1-dev geometry (19 double + 38 single
 blocks, 3072 hidden, 24 heads x 128, ~12B params) with int8-quantized
 matmuls (W8A8 by default) so the whole 11.9 GB weight set resides in a
@@ -67,7 +79,22 @@ def _measure(fn, *args, iters=None):
     for o in outs:
         for leaf in jax.tree.leaves(o):
             _force(leaf)
-    return (time.perf_counter() - t0) / n
+    dt = (time.perf_counter() - t0) / n
+    # per-repeat band for the variance report (dispatch is async, so
+    # per-call splits need their own forced runs; only worth it for the
+    # expensive headline stages — sample when the mean is > 1 s)
+    if dt > 1.0 and n > 1:
+        times = []
+        for _ in range(n):
+            t1 = time.perf_counter()
+            o = fn(*args)
+            for leaf in jax.tree.leaves(o):
+                _force(leaf)
+            times.append(time.perf_counter() - t1)
+        _measure.last_band = [round(min(times), 3), round(max(times), 3)]
+    else:
+        _measure.last_band = None
+    return dt
 
 
 def main():
@@ -298,8 +325,10 @@ def main():
 
     # --- stage: compile + measure the denoise+decode loop ------------------
     dt = None
+    band = None
     try:
         dt = _measure(edit, latents)
+        band = _measure.last_band
     except Exception:  # noqa: BLE001
         errors.append(
             "edit: " + traceback.format_exc(limit=3).strip().splitlines()[-1]
@@ -330,6 +359,7 @@ def main():
                 )
 
             fused_dt = _measure(fused_edit, latents)
+            band = _measure.last_band or band
         except Exception:  # noqa: BLE001
             errors.append(
                 "fused: "
@@ -389,6 +419,11 @@ def main():
             stages["fused_edit_s"] = round(fused_dt, 4)
         extras["stages"] = stages
         extras["denoise_decode_edits_per_s"] = round(b / dt, 4)
+        if band:
+            # [min, max] seconds over the timed repeats of the headline
+            # stage (fused edit when measured, else denoise+decode) — the
+            # shared-chip run-to-run variance context for a single sample
+            extras["repeat_band_s"] = band
 
     result = {
         "metric": f"{scope} edits/sec/chip ({height}x{width}, {steps}-step, "

@@ -63,9 +63,17 @@ def _writer(dirname, shard_bytes=4 << 30):
     return add, flush
 
 
-def synth_flux(dirname, nd, ns, h=3072, mlp=12288, joint=4096, pooled=768,
-               tc=256, in_ch=64, hd=128):
-    add, flush = _writer(dirname)
+def flux_key_manifest(nd=19, ns=38, h=3072, mlp=12288, joint=4096,
+                      pooled=768, tc=256, in_ch=64, hd=128):
+    """The exact (key, shape) manifest of a diffusers-layout
+    FluxTransformer2DModel checkpoint at the given geometry (defaults =
+    FLUX.1-dev, the published
+    ``diffusion_pytorch_model.safetensors.index.json`` weight map).
+    ``tests/test_diffusers_anchor.py`` asserts this against an
+    independently embedded copy of the published index, so the rehearsal
+    can't drift from the real checkpoint layout."""
+    out = []
+    add = lambda k, shape: out.append((k, shape))
     lin = lambda p, o, i: (add(f"{p}.weight", (o, i)), add(f"{p}.bias", (o,)))
     add("x_embedder.weight", (h, in_ch)); add("x_embedder.bias", (h,))
     lin("context_embedder", h, joint)
@@ -83,26 +91,43 @@ def synth_flux(dirname, nd, ns, h=3072, mlp=12288, joint=4096, pooled=768,
                   "add_v_proj"):
             lin(f"{p}.attn.{n}", h, h)
         for n in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
-            add(f"{p}.attn.{n}.weight", (hd,), 1.0)
+            add(f"{p}.attn.{n}.weight", (hd,))
         lin(f"{p}.attn.to_out.0", h, h)
         lin(f"{p}.attn.to_add_out", h, h)
         lin(f"{p}.ff.net.0.proj", mlp, h)
         lin(f"{p}.ff.net.2", h, mlp)
         lin(f"{p}.ff_context.net.0.proj", mlp, h)
         lin(f"{p}.ff_context.net.2", h, mlp)
-        flush()
     for i in range(ns):
         p = f"single_transformer_blocks.{i}"
         lin(f"{p}.norm.linear", 3 * h, h)
         for n in ("to_q", "to_k", "to_v"):
             lin(f"{p}.attn.{n}", h, h)
         for n in ("norm_q", "norm_k"):
-            add(f"{p}.attn.{n}.weight", (hd,), 1.0)
+            add(f"{p}.attn.{n}.weight", (hd,))
         lin(f"{p}.proj_mlp", mlp, h)
         lin(f"{p}.proj_out", h, h + mlp)
-        flush()
     lin("norm_out.linear", 2 * h, h)
     lin("proj_out", in_ch, h)
+    return out
+
+
+def synth_flux(dirname, nd, ns, h=3072, mlp=12288, joint=4096, pooled=768,
+               tc=256, in_ch=64, hd=128):
+    add, flush = _writer(dirname)
+    last_block = None
+    for key, shape in flux_key_manifest(nd, ns, h, mlp, joint, pooled, tc,
+                                        in_ch, hd):
+        # per-head RMS norm weights init at 1.0, everything else N(0, 0.02)
+        scale = 1.0 if ".attn.norm" in key else 0.02
+        add(key, shape, scale)
+        # flush per block (the writer also flushes at the shard-size bound)
+        block = key.split(".attn")[0].split(".norm")[0] if (
+            "transformer_blocks" in key
+        ) else None
+        if block != last_block:
+            flush()
+            last_block = block
     flush()
 
 

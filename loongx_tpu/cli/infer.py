@@ -125,16 +125,30 @@ def edit_one(
 
 
 def batch_edit(pipeline, args, brain_data, captions):
-    """Directory batch mode: images are grouped into device-count-sized
-    batches and edited in ONE sharded generate call per group — the mesh
-    replaces the reference's mp.spawn + NCCL + per-rank chunking loop
-    (inference.py:177-261)."""
+    """Directory batch mode: images are grouped into batches and edited in
+    ONE sharded generate call per group over a ("data", "tensor") device
+    mesh — the TPU-native replacement for the reference's mp.spawn + NCCL +
+    per-rank image-chunking loop (inference.py:177-261).
+
+    With more than one device the pipeline params are sharded ONCE
+    (replicated under pure data parallelism; Megatron column/row split
+    under ``--tensor N``), and per group the initial latents, condition
+    tokens and biosignals are ``device_put`` with a batch-axis
+    NamedSharding, so each chip denoises its slice of the group and the
+    Pallas kernels run per shard (``mesh_context``).  The final group is
+    padded (by repeating its last image) to a multiple of the data axis;
+    padded outputs are dropped."""
+    import time as _time
+
     import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from PIL import Image
 
-    from loongx_tpu.sampling import generate
+    import loongx_tpu.sampling as sampling
     from loongx_tpu.sampling.condition import synthesize_condition_image
     from loongx_tpu.ops.latents import latent_image_ids, shift_ids
+    from loongx_tpu.parallel import make_mesh, shard_params
+    from loongx_tpu.parallel.mesh import mesh_context
 
     os.makedirs(args.output_dir, exist_ok=True)
     files = sorted(
@@ -142,14 +156,41 @@ def batch_edit(pipeline, args, brain_data, captions):
         if f.lower().endswith((".png", ".jpg", ".jpeg"))
     )
     n_dev = len(jax.devices())
-    group = max(args.batch_size or n_dev, 1)
-    print(f"[infer] {len(files)} images, groups of {group} on {n_dev} device(s)")
+    tensor = max(1, getattr(args, "tensor", 1) or 1)
+    mesh = make_mesh(data=-1, tensor=tensor)
+    n_data = mesh.shape["data"]
+    sharded = n_dev > 1
+    if sharded:
+        # one-time placement: flux/vae/encoder leaves follow the TP rules
+        # (everything replicated when tensor == 1)
+        pipeline.params = shard_params(
+            pipeline.params, mesh, tensor_parallel=tensor > 1
+        )
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        return jax.device_put(x, batch_sh) if sharded else x
+
+    group = max(args.batch_size or n_data, 1)
+    if sharded and group % n_data:
+        group = -(-group // n_data) * n_data  # round up to the data axis
+    print(
+        f"[infer] {len(files)} images, groups of {group} on mesh "
+        f"{dict(mesh.shape)}"
+    )
     size = args.target_size
-    done = 0
+    vae_scale = pipeline.vae_cfg.downscale
+    lat_h = lat_w = size // vae_scale
+    n_tok = (lat_h // 2) * (lat_w // 2)
+    done, times = 0, []
     for start in range(0, len(files), group):
+        t0 = _time.time()
         chunk = files[start : start + group]
+        # pad the tail group so the batch axis divides the mesh
+        pad = (-len(chunk)) % n_data if sharded else 0
+        proc = chunk + [chunk[-1]] * pad
         conds, prompts = [], []
-        for fname in chunk:
+        for fname in proc:
             img = Image.open(
                 os.path.join(args.input_dir, fname)
             ).convert("RGB").resize((size, size))
@@ -158,47 +199,74 @@ def batch_edit(pipeline, args, brain_data, captions):
             toks, h, w = pipeline.encode_image_tokens(jnp.asarray(arr))
             conds.append(np.asarray(toks[0]))
             prompts.append(captions.get(fname, args.prompt or ""))
-        cond_tokens = jnp.asarray(np.stack(conds))
+        b = len(proc)
+        cond_tokens = put(jnp.asarray(np.stack(conds)))
         cond_ids = shift_ids(
             latent_image_ids(h, w),
             (args.position_delta_x, args.position_delta_y),
         )
+        # initial latents: same construction generate() would use (so the
+        # sharded group run equals the unsharded call bit-for-bit), but
+        # device_put with the batch-axis sharding BEFORE the denoise scan
+        k_lat, _ = jax.random.split(jax.random.key(args.seed))
+        latents = jax.random.normal(
+            k_lat, (b, lat_h // 2, lat_w // 2, pipeline.flux_cfg.in_channels),
+            jnp.float32,
+        ).reshape(b, n_tok, pipeline.flux_cfg.in_channels)
+        latents = put(latents.astype(pipeline.dtype))
         # biosignals: batch only when every image in the group has them
-        brains = [brain_data.get(f, {}) for f in chunk]
-        use_brain = all(b.get("EEG") is not None for b in brains) and brains
+        brains = [brain_data.get(f, {}) for f in proc]
+        use_brain = all(b_.get("EEG") is not None for b_ in brains) and brains
         kw = {}
         if use_brain:
             for key, name in (("EEG", "eeg"), ("FNIRS", "fnirs"),
                               ("PPG", "ppg"), ("Motion", "motion")):
-                vals = [b.get(key) for b in brains]
+                vals = [b_.get(key) for b_ in brains]
                 if all(v is not None for v in vals):
                     from loongx_tpu.models.encoders import canonicalise_signal
 
-                    kw[name] = jnp.stack([
+                    kw[name] = put(jnp.stack([
                         canonicalise_signal(jnp.asarray(v, jnp.float32), name)[0]
                         for v in vals
-                    ])
-        out = generate(
-            pipeline,
-            prompt=prompts,
-            cond_tokens=cond_tokens,
-            cond_ids=cond_ids,
-            height=size,
-            width=size,
-            num_inference_steps=args.steps,
-            guidance_scale=args.guidance,
-            seed=args.seed,
-            use_brain_condition=bool(kw),
-            fuse_flag=args.fuse,
-            neural_only=args.neural_only,
-            output_type="uint8",
-            **kw,
-        )
-        for fname, arr in zip(chunk, out):
+                    ]))
+        with mesh_context(mesh):
+            out = sampling.generate(
+                pipeline,
+                prompt=prompts,
+                cond_tokens=cond_tokens,
+                cond_ids=cond_ids,
+                height=size,
+                width=size,
+                num_inference_steps=args.steps,
+                guidance_scale=args.guidance,
+                seed=args.seed,
+                latents=latents,
+                use_brain_condition=bool(kw),
+                fuse_flag=args.fuse,
+                neural_only=args.neural_only,
+                output_type="uint8",
+                **kw,
+            )
+        for fname, arr in zip(chunk, out):  # padded rows fall off the zip
             out_path = os.path.join(args.output_dir, fname)
             Image.fromarray(arr).save(out_path)
             done += 1
             print(f"[infer] [{done}/{len(files)}] {out_path}")
+        dt = _time.time() - t0
+        times.extend([dt / len(chunk)] * len(chunk))
+        if getattr(args, "timing", False):
+            print(
+                f"[infer] group of {len(chunk)}: {dt:.3f}s "
+                f"({dt / len(chunk):.3f}s/image end-to-end)"
+            )
+    if getattr(args, "timing", False) and times:
+        times.sort()
+        p50 = times[len(times) // 2]
+        print(
+            f"[infer] wall-clock per-image p50 {p50:.3f}s over "
+            f"{len(times)} images (host decode + condition synthesis + "
+            f"denoise + PNG write)"
+        )
 
 
 def _load_lora_tree(pipeline, path: str):
@@ -278,7 +346,17 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=28)
     parser.add_argument("--guidance", type=float, default=3.5)
     parser.add_argument("--batch_size", type=int, default=None,
-                        help="images per sharded batch (default: #devices)")
+                        help="images per sharded batch (default: the data "
+                        "axis of the mesh; rounded up to a multiple of it)")
+    parser.add_argument("--tensor", type=int, default=1,
+                        help="tensor-parallel axis of the device mesh "
+                        "(data axis = n_devices / tensor).  With --int8 the "
+                        "qkv projections are fused in the TP layout so the "
+                        "quantized TP serving kernels apply")
+    parser.add_argument("--timing", action="store_true",
+                        help="report end-to-end wall-clock per image "
+                        "(host decode + condition synthesis + denoise + "
+                        "PNG write) and the p50 across the run")
     parser.add_argument("--fuse", action="store_true",
                         help="DUAN-fuse brain+text instead of replacing")
     parser.add_argument("--neural_only", action="store_true",
@@ -307,10 +385,23 @@ def main(argv=None):
 
     pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
     if args.int8:
-        # qkv fusion cannot carry LoRA (adapters address q/k/v
-        # individually) — keep it off when adapters follow; the proj_out
-        # split stays on either way (attach routes its factor rows)
-        pipeline.quantize(fuse_qkv=not args.lora)
+        if args.tensor > 1:
+            # TP serving: the flat serving-fused qkv cannot column-shard
+            # (parallel/mesh.py refusal) — quantize unfused, then re-fuse in
+            # the TP layout ([*, K, 3, H], head axis shardable); proj_out
+            # stays whole (its split is a single-chip transform)
+            pipeline.quantize(fuse_qkv=False, split_proj_out=False)
+            if not args.lora:
+                from loongx_tpu.ops.quant import fuse_qkv_projections
+
+                pipeline.params["flux"] = fuse_qkv_projections(
+                    pipeline.params["flux"], consume=True, tp_layout=True
+                )
+        else:
+            # qkv fusion cannot carry LoRA (adapters address q/k/v
+            # individually) — keep it off when adapters follow; the proj_out
+            # split stays on either way (attach routes its factor rows)
+            pipeline.quantize(fuse_qkv=not args.lora)
     for spec in args.lora or []:
         name, path = spec.split("=", 1) if "=" in spec else (None, spec)
         _attach_lora(pipeline, path, name)

@@ -110,6 +110,13 @@ class TrainConfig:
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     wandb: Optional[Dict[str, Any]] = None
     seed: int = 42
+    # Train the CS3 biosignal encoders + DGF fusion alongside the LoRA.
+    # Default False replicates the reference's released-code behavior: its
+    # optimizer sees only lora_layers (model.py:533-543), so encoder grads
+    # are computed but never applied — the paper's brain-driven editing
+    # however requires trained encoders, so the choice is exposed here
+    # (see docs/TRAINING.md).
+    train_encoders: bool = False
 
 
 @dataclass

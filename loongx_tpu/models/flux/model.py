@@ -339,13 +339,21 @@ def linear(
             y = jnp.dot(x, w, preferred_element_type=jnp.float32)
         else:
             # stacked scan view: scalar-prefetch kernel reads tiles straight
-            # out of the whole [NB, K, N] stack — no per-iteration slice copy
+            # out of the whole [NB, K, N] stack — no per-iteration slice copy.
+            # Under a data-axis mesh (DP training / batch-sharded serving)
+            # the kernel runs per shard via shard_map — fwd AND custom_vjp
+            # bwd stay Pallas (round-4 kernel-grade multi-device training)
             from loongx_tpu.ops.quant_matmul import quant_matmul_stacked_vjp
+            from loongx_tpu.parallel.tp_quant import maybe_dp_rowshard
 
-            y = quant_matmul_stacked_vjp(
+            qargs = (
                 x.reshape(-1, x.shape[-1]), p["kernel_q"],
                 p["kernel_scale"].reshape(nb, 1, -1), p["_blk"],
-            ).reshape(*lead, -1).astype(jnp.float32)
+            )
+            y = maybe_dp_rowshard(quant_matmul_stacked_vjp, 1, 1, *qargs)
+            if y is None:
+                y = quant_matmul_stacked_vjp(*qargs)
+            y = y.reshape(*lead, -1).astype(jnp.float32)
     elif "kernel_q" in p:  # int8 weight-only quantized (ops/quant.py)
         if _use_pallas_qmm(p):
             # tile-dequant Pallas matmul: int8 HBM reads, no bf16 weight
@@ -358,10 +366,16 @@ def linear(
 
             qmm = quant_matmul_w8a8_vjp if use_w8a8() else quant_matmul_vjp
             lead = x.shape[:-1]
-            y = qmm(
+            from loongx_tpu.parallel.tp_quant import maybe_dp_rowshard
+
+            qargs = (
                 x.reshape(-1, x.shape[-1]), p["kernel_q"],
                 p["kernel_scale"].reshape(1, -1),
-            ).reshape(*lead, -1).astype(jnp.float32)
+            )
+            y = maybe_dp_rowshard(qmm, 1, 1, *qargs)
+            if y is None:
+                y = qmm(*qargs)
+            y = y.reshape(*lead, -1).astype(jnp.float32)
         else:
             w = (
                 p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
@@ -417,14 +431,20 @@ def linear_gelu(
                     p["_blk"], bias2=p.get("bias"), activation="gelu_tanh",
                 ).reshape(*lead, -1).astype(x.dtype)
             from loongx_tpu.ops.quant_matmul import quant_linear_gelu_stacked
+            from loongx_tpu.parallel.tp_quant import maybe_dp_rowshard
 
-            return quant_linear_gelu_stacked(
+            qargs = (
                 x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
                 p["kernel_q"], p["kernel_scale"].reshape(nb, 1, n),
                 _bias3(p), p["_blk"],
-            ).reshape(*lead, -1).astype(x.dtype)
+            )
+            y = maybe_dp_rowshard(quant_linear_gelu_stacked, 1, 1, *qargs)
+            if y is None:
+                y = quant_linear_gelu_stacked(*qargs)
+            return y.reshape(*lead, -1).astype(x.dtype)
         if _use_pallas_qmm(p) and not (use_lora and "lora_a" in p):
             from loongx_tpu.ops.quant_matmul import quant_linear_gelu
+            from loongx_tpu.parallel.tp_quant import maybe_dp_rowshard
 
             lead = x.shape[:-1]
             n = p["kernel_q"].shape[-1]
@@ -432,10 +452,14 @@ def linear_gelu(
                 p["bias"].astype(jnp.float32).reshape(1, -1)
                 if "bias" in p else jnp.zeros((1, n), jnp.float32)
             )
-            return quant_linear_gelu(
+            qargs = (
                 x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
                 p["kernel_q"], p["kernel_scale"].reshape(1, -1), bias,
-            ).reshape(*lead, -1).astype(x.dtype)
+            )
+            y = maybe_dp_rowshard(quant_linear_gelu, 1, 1, *qargs)
+            if y is None:
+                y = quant_linear_gelu(*qargs)
+            return y.reshape(*lead, -1).astype(x.dtype)
     return gelu_tanh(linear(p, x, use_lora, lora_mask, tp_kind=tp_kind))
 
 
@@ -601,10 +625,24 @@ def _fused_qkv_stacked(p, nq, nk, x, num_heads: int, ln_mod=None):
             p["_blk"], hd, ab=ab, seg_boundary=boundary,
         )
     else:
-        q, k, v = quant_qkv_stacked(
+        qkv_args = (
             x.reshape(-1, x.shape[-1]), p["kernel_q"],
             p["kernel_scale"].reshape(nb, 1, 3 * h), _bias3(p, (nb, 1, 3 * h)),
-            norm_w, p["_blk"], hd, ab=ab, seg_boundary=boundary,
+            norm_w, p["_blk"],
+        )
+        out3 = None
+        if ab is None:
+            # batch-sharded serving: rows shard over the data axis
+            from loongx_tpu.parallel.tp_quant import maybe_dp_rowshard
+
+            out3 = maybe_dp_rowshard(
+                lambda x2, wq, sc, b3, nw, blk: quant_qkv_stacked(
+                    x2, wq, sc, b3, nw, blk, hd
+                ),
+                1, 3, *qkv_args,
+            )
+        q, k, v = out3 if out3 is not None else quant_qkv_stacked(
+            *qkv_args[:6], hd, ab=ab, seg_boundary=boundary,
         )
     shape = (b, s, num_heads, hd)
     return (

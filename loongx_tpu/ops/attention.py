@@ -119,19 +119,32 @@ def unified_attention(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
-        from loongx_tpu.parallel.mesh import current_tp
+        from loongx_tpu.parallel.mesh import current_dp, current_tp
 
         tp = current_tp()
-        if tp is not None:
-            # heads are sharded over the tensor axis — run the kernel
-            # per-shard under shard_map (a bare Pallas call would be
-            # replicated/all-gathered by SPMD partitioning)
+        dp = current_dp()
+        b = q.shape[0]
+        h = q.shape[2] if bshd else q.shape[1]
+        # drop an axis whose extent doesn't divide its dimension (e.g. a
+        # batch-1 serving call under a data mesh) — the remaining axis (or
+        # the bare kernel) still runs correctly
+        if tp is not None and h % tp[0].shape[tp[1]]:
+            tp = None
+        if dp is not None and b % dp[0].shape[dp[1]]:
+            dp = None
+        if tp is not None or dp is not None:
+            # heads sharded over the tensor axis and/or batch over the data
+            # axis — run the kernel per-shard under shard_map (a bare Pallas
+            # call would be replicated/all-gathered by SPMD partitioning)
             from loongx_tpu.parallel.tp_attention import tp_flash_attention
 
-            mesh, axis = tp
+            mesh = (tp or dp)[0]
             return tp_flash_attention(
                 mesh, q, k, v, cond_start=cond_start, mode=mode,
-                c_factor=c_factor, rope=rope, axis=axis, layout=layout,
+                c_factor=c_factor, rope=rope,
+                axis=tp[1] if tp else None,
+                batch_axis=dp[1] if dp else None,
+                layout=layout,
             )
         from loongx_tpu.ops.flash_attention import flash_attention
 

@@ -28,13 +28,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 # ---------------------------------------------------------------------------
-# Tensor-parallel context: lets ops (attention) know a TP mesh is active so
-# Pallas kernels route through shard_map instead of being replicated by SPMD.
+# SPMD mesh context: lets ops (attention, quant matmuls) know a mesh is
+# active so Pallas kernels route through shard_map instead of being
+# replicated/all-gathered by SPMD partitioning (a Pallas custom call cannot
+# be auto-partitioned by GSPMD).
+#
+#   * tensor axis — heads / matmul output-dim sharding (TP serving);
+#   * data axis   — batch-dimension sharding: the kernels are embarrassingly
+#     parallel over rows/batch, so DP training and batch-sharded inference
+#     keep the SAME Pallas flash-attention fwd/bwd and int8 custom_vjp
+#     kernels that make the single-chip path fast (round-3 gap: under any
+#     mesh, training lost the kernels to the XLA fallback).
 # ---------------------------------------------------------------------------
 
 import contextlib
 
-_TP_STATE = {"mesh": None, "axis": "tensor"}
+_TP_STATE = {"mesh": None, "axis": "tensor", "data_axis": None}
 
 
 @contextlib.contextmanager
@@ -43,7 +52,23 @@ def tp_context(mesh: "Mesh", axis: str = "tensor"):
     (the Pallas attention kernel).  Use around jit-traced calls when
     mesh.shape[axis] > 1."""
     prev = dict(_TP_STATE)
-    _TP_STATE.update(mesh=mesh, axis=axis)
+    _TP_STATE.update(mesh=mesh, axis=axis, data_axis=None)
+    try:
+        yield
+    finally:
+        _TP_STATE.update(prev)
+
+
+@contextlib.contextmanager
+def mesh_context(
+    mesh: "Mesh", data_axis: str = "data", tensor_axis: str = "tensor"
+):
+    """Activate BOTH mesh axes for the Pallas kernel wrappers: batch shards
+    over ``data_axis`` (DP train / sharded batch inference) and heads /
+    matmul dims over ``tensor_axis`` (TP serving).  Either axis may be
+    trivial (extent 1) — the wrappers drop it from their specs."""
+    prev = dict(_TP_STATE)
+    _TP_STATE.update(mesh=mesh, axis=tensor_axis, data_axis=data_axis)
     try:
         yield
     finally:
@@ -54,6 +79,15 @@ def current_tp():
     """(mesh, axis) if a non-trivial TP context is active, else None."""
     mesh, axis = _TP_STATE["mesh"], _TP_STATE["axis"]
     if mesh is not None and mesh.shape.get(axis, 1) > 1:
+        return mesh, axis
+    return None
+
+
+def current_dp():
+    """(mesh, data_axis) if a mesh_context with a non-trivial data axis is
+    active, else None."""
+    mesh, axis = _TP_STATE["mesh"], _TP_STATE["data_axis"]
+    if mesh is not None and axis is not None and mesh.shape.get(axis, 1) > 1:
         return mesh, axis
     return None
 

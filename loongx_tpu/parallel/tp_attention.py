@@ -31,17 +31,22 @@ def tp_flash_attention(
     mode: str = "union",
     c_factor: Optional[jnp.ndarray] = None,
     rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-    axis: str = "tensor",
+    axis: Optional[str] = "tensor",
+    batch_axis: Optional[str] = None,
     interpret: Optional[bool] = None,
     layout: str = "bhsd",
 ) -> jnp.ndarray:
     """q/k/v: [B, H, S, D] ("bhsd") or [B, S, H, D] ("bshd") with H sharded
-    over ``axis``.  Output sharded the same way."""
+    over ``axis`` and/or B sharded over ``batch_axis`` (either may be None).
+    Output sharded the same way.  Attention is embarrassingly parallel over
+    both batch and heads, so no collectives run inside — and the wrapped
+    kernel keeps its custom_vjp: reverse-mode AD shards the SAME Pallas
+    dQ/dKV backward kernels per shard (kernel-grade DP training)."""
     from loongx_tpu.ops.flash_attention import flash_attention
 
     head_sharding = (
-        P(None, None, axis, None) if layout == "bshd"
-        else P(None, axis, None, None)
+        P(batch_axis, None, axis, None) if layout == "bshd"
+        else P(batch_axis, axis, None, None)
     )
 
     def local_attn(q_l, k_l, v_l, cf, rope_cos, rope_sin):

@@ -21,6 +21,15 @@ flash kernel), with the Megatron-style column/row split the TP rules in
 
 Serving-only forward (no custom_vjp): training under TP keeps the XLA
 dequant fallback, whose gradients GSPMD partitions automatically.
+
+Under a `mesh_context` the wrappers ALSO shard the row (batch*seq) axis
+over the data axis — batch-sharded serving and 2D (data x tensor) fused
+serving run the same kernels per shard.  For pure data parallelism (DP
+training / batch-sharded inference with no tensor axis),
+`maybe_dp_rowshard` wraps the custom_vjp kernels so reverse-mode AD shards
+the Pallas backward kernels too (round-4: kernel-grade multi-device
+training — reference scope: train.py:181-182, DDP trains with full-speed
+kernels per rank).
 """
 
 from __future__ import annotations
@@ -31,6 +40,57 @@ import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
+
+
+def _data_axis_for(mesh, m: int) -> Optional[str]:
+    """The active mesh_context data axis if it belongs to ``mesh`` and
+    divides the row count ``m``, else None (specs drop the axis)."""
+    from loongx_tpu.parallel.mesh import current_dp
+
+    dp = current_dp()
+    if dp is None or dp[0] is not mesh:
+        return None
+    axis = dp[1]
+    return axis if m % mesh.shape[axis] == 0 else None
+
+
+def maybe_dp_rowshard(fn, n_row: int, n_out: int, *args):
+    """Run a row-parallel kernel per data shard under an active mesh
+    context (pure data parallelism: no collectives inside).
+
+    The first ``n_row`` args shard on their leading axis over the data
+    axis; the rest are replicated; every output is leading-axis sharded.
+    Returns None (caller falls back to the bare kernel) when no non-trivial
+    data axis is active, a tensor axis is active (the TP wrappers own that
+    case), or a row count doesn't divide the axis.  ``fn`` keeps its
+    custom_vjp: shard_map differentiates the body per shard, so DP training
+    runs the Pallas forward AND backward kernels; weight/scale cotangents
+    (zeros — the int8 base is frozen) psum over the data axis exactly as
+    GSPMD would."""
+    from loongx_tpu.parallel.mesh import current_dp, current_tp
+
+    dp = current_dp()
+    if dp is None or current_tp() is not None:
+        return None
+    mesh, axis = dp
+    n = mesh.shape[axis]
+    for a in args[:n_row]:
+        if a is None or a.shape[0] % n:
+            return None
+
+    def row_spec(a):
+        return P(axis, *([None] * (a.ndim - 1)))
+
+    in_specs = tuple(
+        row_spec(a) if i < n_row else P() for i, a in enumerate(args)
+    )
+    out_specs = (
+        P(axis, None) if n_out == 1 else tuple([P(axis, None)] * n_out)
+    )
+    return shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(*args)
 
 
 def tp_quant_matmul_stacked(
@@ -66,10 +126,14 @@ def tp_quant_matmul_stacked(
     wspec = {
         "col": P(None, None, axis), "row": P(None, axis, None), "repl": P()
     }[kind]
+    # a simultaneous data axis (mesh_context) shards the row (batch*seq)
+    # dim of x / resid / out — 2D data x tensor serving in one wrapper
+    da = _data_axis_for(mesh, x2.shape[0])
     sspec = P(None, None, axis) if kind == "col" else P()
-    xspec = P(None, axis) if kind == "row" else P()
-    ospec = P(None, axis) if kind == "col" else P()
+    xspec = P(da, axis) if kind == "row" else P(da, None)
+    ospec = P(da, axis) if kind == "col" else P(da, None)
     bspec = P(None, axis) if kind == "col" else P()
+    rspec = P(da, None)  # resid [M, N] (row epilogue)
 
     def local(x_l, w_l, s_l, b_l, ab_l, resid_l, gate_l, blk_l):
         nb, _, n_l = w_l.shape
@@ -100,7 +164,7 @@ def tp_quant_matmul_stacked(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(xspec, wspec, sspec, bspec, P(), P(), P(), P()),
+        in_specs=(xspec, wspec, sspec, bspec, P(), rspec, P(), P()),
         out_specs=ospec,
         check_vma=False,
     )(x2, w_q3, scale3, bias2, ab, resid, gate, blk)
@@ -142,10 +206,11 @@ def tp_quant_qkv_stacked(
         return q, kk, v
 
     hs = P(None, None, None, axis)
+    da = _data_axis_for(mesh, x2.shape[0])  # rows also shard under a 2D mesh
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), hs, hs, hs, P(None, axis), P(), P()),
-        out_specs=(P(None, axis), P(None, axis), P(None, axis)),
+        in_specs=(P(da, None), hs, hs, hs, P(None, axis), P(), P()),
+        out_specs=(P(da, axis), P(da, axis), P(da, axis)),
         check_vma=False,
     )(x2, w_q4, scale4, bias4, norm_w, ab, blk)

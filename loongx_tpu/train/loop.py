@@ -69,7 +69,9 @@ def train(
         jax.random.key(tcfg.seed), pipeline.params["flux"],
         r=lcfg.r, alpha=lcfg.lora_alpha, dtype=pipeline.dtype,
     )
-    mask = trainable_mask(pipeline.params)
+    mask = trainable_mask(
+        pipeline.params, train_encoders=tcfg.train_encoders
+    )
     trainable, frozen = partition(pipeline.params, mask)
 
     accum = max(1, tcfg.accumulate_grad_batches)
@@ -121,6 +123,9 @@ def train(
         # changed batch size or seed would fast-forward a DIFFERENT stream
         "batch_size": tcfg.batch_size,
         "seed": tcfg.seed,
+        # changes the trainable tree structure — a resume across this flag
+        # would fail deep inside orbax restore
+        "train_encoders": tcfg.train_encoders,
         "flux_blocks": [pipeline.flux_cfg.num_double_blocks,
                         pipeline.flux_cfg.num_single_blocks],
     }
@@ -270,29 +275,40 @@ def train(
     # completion) the prefetch would otherwise decode + VAE/T5-encode a full
     # batch just to discard it.
     window = []  # per-micro metrics of the current accumulation span
+    # mesh_context: with a non-trivial mesh axis the Pallas kernels (flash
+    # attention fwd/bwd, int8 quant custom_vjp) run per-shard via shard_map
+    # instead of falling back to XLA math — multi-device training keeps the
+    # same kernels that make single-chip QLoRA fast.  Trace-time routing:
+    # the context must wrap the step call that triggers compilation.
+    from loongx_tpu.parallel.mesh import mesh_context
+
     if total_micro > start_micro:
-        for batch in background_iter(device_batches(), depth=1):
-            if micro >= total_micro:
-                break
-            key, sub = jax.random.split(key)
-            state, metrics = step_jit(state, frozen, batch, sub)
-            if sample_fn is not None:
-                latest["state"] = state
-            window.append(metrics)
-            micro += 1
-            if micro % accum == 0:
-                # callbacks fire per OPTIMIZER step (Lightning global_step):
-                # save_interval / sample_interval / wandb "steps" count them.
-                # Loss/grad-norm average over the span (the optimizer saw the
-                # MEAN of these micro-grads; the mean of their norms bounds
-                # the accumulated norm the clip acted on — the last micro
-                # alone reflected ~1/accum of the step)
-                agg = dict(metrics)
-                for k in ("loss", "grad_norm"):
-                    if k in metrics:
-                        agg[k] = jnp.mean(jnp.stack([w[k] for w in window]))
-                window.clear()
-                callback.on_step_end(micro // accum, agg, state)
+        with mesh_context(mesh):
+            for batch in background_iter(device_batches(), depth=1):
+                if micro >= total_micro:
+                    break
+                key, sub = jax.random.split(key)
+                state, metrics = step_jit(state, frozen, batch, sub)
+                if sample_fn is not None:
+                    latest["state"] = state
+                window.append(metrics)
+                micro += 1
+                if micro % accum == 0:
+                    # callbacks fire per OPTIMIZER step (Lightning
+                    # global_step): save_interval / sample_interval / wandb
+                    # "steps" count them.  Loss/grad-norm average over the
+                    # span (the optimizer saw the MEAN of these micro-grads;
+                    # the mean of their norms bounds the accumulated norm
+                    # the clip acted on — the last micro alone reflected
+                    # ~1/accum of the step)
+                    agg = dict(metrics)
+                    for k in ("loss", "grad_norm"):
+                        if k in metrics:
+                            agg[k] = jnp.mean(
+                                jnp.stack([w[k] for w in window])
+                            )
+                    window.clear()
+                    callback.on_step_end(micro // accum, agg, state)
     step = micro // accum
     wall = time.time() - t0
     if is_main:
