@@ -10,10 +10,21 @@ as everything else.  Weights convert from HF safetensors
 (utils/convert.convert_whisper_state); numerics are golden-tested against
 ``transformers`` WhisperForConditionalGeneration (tests/test_speech_models.py).
 
-Decoding note: instructions are short (tens of tokens), so each greedy
-step re-runs the full decoder over a fixed-length token buffer instead of
-carrying a KV cache — static shapes, one compiled ``lax.scan``, and the
-decoder cost is noise next to the 1500-frame encoder pass.
+Decoding: two greedy decoders, token-for-token identical
+(tests/test_speech_models.py):
+
+  * ``whisper_greedy_decode`` — KV-free: each step re-runs the full
+    decoder over a fixed-length token buffer.  Simple, fine at tiny test
+    geometry; at whisper-large it recomputes the 32 layers' cross-attention
+    K/V projections over all 1500 encoder positions PER TOKEN (~315 GFLOP
+    /token — ~8x the entire encoder pass over a 64-token transcription).
+  * ``whisper_greedy_decode_cached`` (default serving path) — TPU-native
+    incremental decoding with static shapes: cross-attention K/V are
+    computed ONCE per utterance, the self-attention K/V cache is a fixed
+    [L, B, H, T_max, Dh] buffer written by ``lax.dynamic_update_slice``
+    inside one compiled ``lax.scan``, so each step touches one token
+    (~0.6 GFLOP + a memory-bound cache read).  Measured at real geometry
+    by benchmarks/speech_rehearsal.py.
 """
 
 from __future__ import annotations
@@ -407,6 +418,157 @@ def whisper_greedy_decode(
 
 
 # ---------------------------------------------------------------------------
+# KV-cached incremental greedy decoder (the serving path at real geometry)
+# ---------------------------------------------------------------------------
+
+
+def whisper_cross_kv(
+    params: Params, cfg: WhisperConfig, enc_out: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention K/V for every decoder layer, computed ONCE per
+    utterance: enc_out [B, S_enc, d] -> (k, v) each [L, B, H, S_enc, Dh]."""
+
+    def per_block(blk):
+        k = _heads(linear(blk["cross_attn"]["k"], enc_out), cfg.num_heads)
+        v = _heads(linear(blk["cross_attn"]["v"], enc_out), cfg.num_heads)
+        return k, v
+
+    return jax.vmap(per_block)(params["dec_blocks"])
+
+
+def _cached_decoder_pass(
+    params: Params,
+    cfg: WhisperConfig,
+    tok_ids: jnp.ndarray,        # [B, T] at positions offset..offset+T-1
+    offset: jnp.ndarray,         # scalar (traced)
+    self_k: jnp.ndarray,         # [L, B, H, total, Dh]
+    self_v: jnp.ndarray,
+    cross_k: jnp.ndarray,        # [L, B, H, S_enc, Dh]
+    cross_v: jnp.ndarray,
+):
+    """Run T tokens through the decoder against the caches, writing their
+    self-attention K/V at ``offset``.  Returns (logits [B, T, vocab],
+    self_k, self_v).  Exact KV-free math: queries at global position q may
+    attend cache positions <= q (unwritten positions are > q by
+    construction, so the causal mask also hides them)."""
+    b, t = tok_ids.shape
+    d, nh = cfg.d_model, cfg.num_heads
+    eps = cfg.layer_norm_eps
+    total = self_k.shape[3]
+    pos = jax.lax.dynamic_slice_in_dim(params["dec_pos"], offset, t, 0)
+    x = params["embed"][tok_ids] + pos[None]
+    qpos = offset + jnp.arange(t)
+    bias = jnp.where(
+        jnp.arange(total)[None, :] <= qpos[:, None], 0.0, -jnp.inf
+    )[None, None]  # [1, 1, T, total]
+    scale = (d // nh) ** -0.5
+
+    def block_fn(x, xs):
+        blk, k_cache, v_cache, ck, cv = xs
+        h = _ln(blk["ln_self"], x, eps)
+        q = _heads(linear(blk["self_attn"]["q"], h), nh) * scale
+        k_new = _heads(linear(blk["self_attn"]["k"], h), nh)
+        v_new = _heads(linear(blk["self_attn"]["v"], h), nh)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, 0, offset, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, 0, offset, 0)
+        )
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+        ) + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v_cache,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        x = x + linear(blk["self_attn"]["o"], out)
+
+        hq = _ln(blk["ln_cross"], x, eps)
+        q2 = _heads(linear(blk["cross_attn"]["q"], hq), nh) * scale
+        cl = jnp.einsum(
+            "bhqd,bhkd->bhqk", q2, ck, preferred_element_type=jnp.float32
+        )
+        cp = jax.nn.softmax(cl, axis=-1).astype(cv.dtype)
+        co = jnp.einsum(
+            "bhqk,bhkd->bhqd", cp, cv, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        co = co.transpose(0, 2, 1, 3).reshape(b, t, d)
+        x = x + linear(blk["cross_attn"]["o"], co)
+
+        x = x + _mlp(blk, _ln(blk["ln_ff"], x, eps))
+        return x, (k_cache, v_cache)
+
+    x, (self_k, self_v) = jax.lax.scan(
+        block_fn, x, (params["dec_blocks"], self_k, self_v, cross_k, cross_v)
+    )
+    x = _ln(params["dec_ln"], x, eps)
+    logits = jnp.einsum(
+        "btd,vd->btv", x.astype(jnp.float32),
+        params["embed"].astype(jnp.float32),
+    )
+    return logits, self_k, self_v
+
+
+def whisper_greedy_decode_cached(
+    params: Params,
+    cfg: WhisperConfig,
+    features: jnp.ndarray,
+    prompt_ids: jnp.ndarray,
+    max_new_tokens: int = 64,
+    suppress_ids: Optional[jnp.ndarray] = None,
+    begin_suppress_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """`whisper_greedy_decode` semantics (token-for-token identical output)
+    with O(1) work per generated token: cross K/V precomputed per
+    utterance, self K/V carried in a static-shape cache through one
+    compiled scan."""
+    enc_out = whisper_encode(params, cfg, features)
+    cross_k, cross_v = whisper_cross_kv(params, cfg, enc_out)
+    b, p = prompt_ids.shape
+    total = min(p + max_new_tokens, cfg.max_target_positions)
+    nh, dh = cfg.num_heads, cfg.d_model // cfg.num_heads
+    dt = params["embed"].dtype
+    self_k = jnp.zeros((cfg.decoder_layers, b, nh, total, dh), dt)
+    self_v = jnp.zeros_like(self_k)
+    buf = jnp.full((b, total), cfg.eos_token_id, jnp.int32)
+    buf = buf.at[:, :p].set(prompt_ids.astype(jnp.int32))
+
+    # prefill the prompt; its last row predicts position p
+    logits, self_k, self_v = _cached_decoder_pass(
+        params, cfg, buf[:, :p], jnp.int32(0), self_k, self_v,
+        cross_k, cross_v,
+    )
+    row0 = logits[:, -1]
+
+    def step(carry, pos):
+        buf, done, self_k, self_v, row = carry
+        if suppress_ids is not None:
+            row = row.at[:, suppress_ids].set(-jnp.inf)
+        if begin_suppress_ids is not None:
+            row = jnp.where(
+                pos == p, row.at[:, begin_suppress_ids].set(-jnp.inf), row
+            )
+        nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.eos_token_id, nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        buf = buf.at[:, pos].set(nxt)
+        logits, self_k, self_v = _cached_decoder_pass(
+            params, cfg, nxt[:, None], pos, self_k, self_v, cross_k, cross_v,
+        )
+        return (buf, done, self_k, self_v, logits[:, 0]), None
+
+    (buf, _, _, _, _), _ = jax.lax.scan(
+        step,
+        (buf, jnp.zeros((b,), jnp.bool_), self_k, self_v, row0),
+        jnp.arange(p, total),
+    )
+    return buf
+
+
+# ---------------------------------------------------------------------------
 # Checkpoint-backed ASR wrapper (local dirs only; zero-egress safe)
 # ---------------------------------------------------------------------------
 
@@ -468,6 +630,7 @@ class WhisperASR:
     def transcribe(
         self, audio: np.ndarray, language: str = "zh",
         task: str = "transcribe", max_new_tokens: int = 64,
+        use_cache: bool = True,
     ) -> str:
         feats = log_mel_spectrogram(
             jnp.asarray(prepare_audio(audio, self.cfg)), self.cfg,
@@ -478,8 +641,12 @@ class WhisperASR:
                if self.suppress_tokens else None)
         begin = (jnp.asarray(self.begin_suppress_tokens, jnp.int32)
                  if self.begin_suppress_tokens else None)
+        decode_fn = (
+            whisper_greedy_decode_cached if use_cache
+            else whisper_greedy_decode
+        )
         out = np.asarray(jax.jit(
-            whisper_greedy_decode, static_argnums=(1, 4)
+            decode_fn, static_argnums=(1, 4)
         )(self.params, self.cfg, feats, prompt, max_new_tokens, sup, begin))
         return self.tokenizer.decode(
             out[0, prompt.shape[1]:], skip_special_tokens=True

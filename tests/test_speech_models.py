@@ -157,6 +157,37 @@ def test_whisper_greedy_matches_torch():
     assert got[: len(want)] == want
 
 
+def test_whisper_cached_greedy_matches_kv_free():
+    """The KV-cached incremental decoder (the real-geometry serving path,
+    round-4 Weak #7 fix) must reproduce the KV-free decoder — which is
+    itself golden against torch above — token for token, including with
+    suppress lists and a multi-token prompt."""
+    from loongx_tpu.models.text.whisper import (
+        whisper_greedy_decode, whisper_greedy_decode_cached,
+    )
+
+    model, params, cfg = _whisper_pair()
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.standard_normal(
+        (2, cfg.num_mel_bins, 2 * cfg.max_source_positions)
+    ).astype(np.float32))
+    prompt = jnp.asarray([[cfg.decoder_start_token_id, 5, 9]] * 2, jnp.int32)
+    sup = jnp.asarray([3, 4], jnp.int32)
+    begin = jnp.asarray([cfg.eos_token_id], jnp.int32)
+
+    for kw in (
+        dict(max_new_tokens=8),
+        dict(max_new_tokens=8, suppress_ids=sup, begin_suppress_ids=begin),
+    ):
+        want = np.asarray(
+            whisper_greedy_decode(params, cfg, feats, prompt, **kw)
+        )
+        got = np.asarray(
+            whisper_greedy_decode_cached(params, cfg, feats, prompt, **kw)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 # ---------------------------------------------------------------------------
 # Marian
 # ---------------------------------------------------------------------------
