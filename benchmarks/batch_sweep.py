@@ -115,10 +115,14 @@ def main():
             })
             print(json.dumps(rows[-1]))
         except Exception:
-            rows.append({
-                "batch": b,
-                "error": traceback.format_exc(limit=2).strip().splitlines()[-1],
-            })
+            err = traceback.format_exc()
+            print(err)
+            lines = [
+                ln for ln in err.strip().splitlines()
+                if ln.strip().rstrip("-")
+                and "JAX has removed its internal frames" not in ln
+            ]
+            rows.append({"batch": b, "error": lines[-1][:300]})
             print(json.dumps(rows[-1]))
     print(json.dumps({
         "sweep": rows, "steps": steps, "size": size,

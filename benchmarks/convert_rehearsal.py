@@ -286,6 +286,12 @@ def main():
     print(f"[rehearsal] converted+quantized in {report['convert_s']}s",
           flush=True)
 
+    if os.environ.get("REHEARSAL_CONVERT_ONLY") == "1":
+        # host-side stages only (synth + convert + quantize); lets the
+        # checkpoint be produced while the chip is busy with another run
+        print(json.dumps(report))
+        return
+
     # staged serve: DiT + VAE only (text encoders stay on disk — the
     # deployed recipe encodes prompts first, frees, then loads the DiT)
     import jax

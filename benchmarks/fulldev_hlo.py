@@ -7,13 +7,16 @@ import re
 import sys
 
 os.environ.setdefault("LOONGX_W8A8", "1")
+os.environ.setdefault("LOONGX_INT8_ATTN", "1")
 
 import jax
 import jax.numpy as jnp
 
 from loongx_tpu.models.flux.model import FluxConfig, init_flux_params, flux_forward
 from loongx_tpu.ops.latents import latent_image_ids
-from loongx_tpu.ops.quant import random_quantized_like
+from loongx_tpu.ops.quant import (
+    fuse_qkv_projections, random_quantized_like, split_single_proj_out,
+)
 
 cfg = FluxConfig.flux_dev()
 key = jax.random.key(0)
@@ -21,9 +24,13 @@ ks = jax.random.split(key, 8)
 params = random_quantized_like(
     ks[0], lambda: init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
 )
+# Same serving prep as fulldev_trace.py / bench.py so HLO op names line
+# up with the trace entries being attributed.
+params = fuse_qkv_projections(params, consume=True)
+params = split_single_proj_out(params, cfg.hidden, consume=True)
 
 S_TXT = 512
-size = 512
+size = int(os.environ.get("BENCH_SIZE", "512"))
 s_img = (size // 16) * (size // 16)
 ids = latent_image_ids(size // 8, size // 8)
 txt_ids = jnp.zeros((S_TXT, 3))

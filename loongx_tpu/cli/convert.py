@@ -123,6 +123,15 @@ def main(argv=None):
                         help="FLUX.1-schnell (no guidance embedder)")
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument(
+        "--init-encoders", action="store_true",
+        help="also write freshly-initialized full-size CS3 biosignal "
+        "encoders + DGF fusion trees as 'encoders'/'dgf' components, so "
+        "the converted directory is a COMPLETE deployable pipeline for "
+        "the neural-editing CLI (train or overwrite them afterwards; the "
+        "reference ships these separately via save_custom_weights, "
+        "/root/reference/src/train/model.py:780-943)",
+    )
+    parser.add_argument(
         "--quantize", action="store_true",
         help="int8-quantize the DiT + text encoders during conversion "
         "(on host) and save the quantized checkpoint — REQUIRED for "
@@ -182,6 +191,23 @@ def main(argv=None):
             for name in ("flux", "t5", "clip"):
                 print(f"[convert] int8-quantize {name} (host) ...")
                 params[name] = quantize_tree(params[name])
+
+        if args.init_encoders:
+            from loongx_tpu.models.encoders import (
+                init_eeg_encoder, init_fnirs_encoder, init_motion_encoder,
+                init_ppg_encoder,
+            )
+            from loongx_tpu.models.fusion import init_dgf
+
+            print("[convert] init CS3 encoders + DGF ...")
+            ks = jax.random.split(jax.random.key(0), 5)
+            params["encoders"] = {
+                "eeg": init_eeg_encoder(ks[0], dtype),
+                "ppg": init_ppg_encoder(ks[1], dtype),
+                "fnirs": init_fnirs_encoder(ks[2], dtype),
+                "motion": init_motion_encoder(ks[3], dtype),
+            }
+            params["dgf"] = init_dgf(ks[4], dtype)
 
         pipe = LoongXPipeline(
             flux_cfg=flux_cfg, vae_cfg=vae_cfg, t5_cfg=t5_cfg,

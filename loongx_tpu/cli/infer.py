@@ -367,6 +367,14 @@ def main(argv=None):
                         "(single-chip serving of the 12B; W8A8 via "
                         "LOONGX_W8A8=1)")
     parser.add_argument(
+        "--components", type=str, default=None,
+        help="comma list of checkpoint components to load (e.g. "
+        "'flux,vae,encoders,dgf').  At the 12B scale the int8 DiT and "
+        "int8 T5-XXL cannot be co-resident on one ~16 GB chip; the "
+        "deployed replace mode (fuse_flag=False) never runs the text "
+        "encoders, so staging them out makes the 12B fit "
+        "(docs/WEIGHTS.md).  Default: everything in the checkpoint")
+    parser.add_argument(
         "--lora", action="append", default=None,
         help="LoRA safetensors to load.  A bare path merges the adapter into "
         "the base weights (single-adapter fast path).  Repeatable "
@@ -383,8 +391,42 @@ def main(argv=None):
 
     from loongx_tpu.models.pipeline import LoongXPipeline
 
-    pipeline = LoongXPipeline.from_pretrained(args.checkpoint)
-    if args.int8:
+    components = (
+        tuple(c.strip() for c in args.components.split(",") if c.strip())
+        if args.components else None
+    )
+    pipeline = LoongXPipeline.from_pretrained(
+        args.checkpoint, components=components
+    )
+    def _has_quant(t):
+        return isinstance(t, dict) and (
+            "kernel_q" in t or any(_has_quant(v) for v in t.values())
+        )
+
+    if args.int8 and _has_quant(pipeline.params.get("flux", {})):
+        # checkpoint was converted with --quantize: kernel_q leaves restore
+        # directly; re-quantizing would be lossy.  Apply the serving
+        # transforms the load-time path would have applied.
+        print("[infer] checkpoint already int8; applying serving transforms")
+        from loongx_tpu.ops.quant import (
+            fuse_qkv_projections, split_single_proj_out,
+        )
+
+        if args.tensor > 1:
+            if not args.lora:
+                pipeline.params["flux"] = fuse_qkv_projections(
+                    pipeline.params["flux"], consume=True, tp_layout=True
+                )
+        else:
+            if not args.lora:
+                pipeline.params["flux"] = fuse_qkv_projections(
+                    pipeline.params["flux"], consume=True
+                )
+            pipeline.params["flux"] = split_single_proj_out(
+                pipeline.params["flux"], pipeline.flux_cfg.hidden,
+                consume=True,
+            )
+    elif args.int8:
         if args.tensor > 1:
             # TP serving: the flat serving-fused qkv cannot column-shard
             # (parallel/mesh.py refusal) — quantize unfused, then re-fuse in
@@ -407,6 +449,15 @@ def main(argv=None):
         _attach_lora(pipeline, path, name)
     brain_data = load_brain_data(args.brain_data_path)
     captions = load_captions(args.caption_path)
+    if brain_data and not (
+        "encoders" in pipeline.params and "dgf" in pipeline.params
+    ):
+        parser.error(
+            "--brain_data_path given but the checkpoint has no 'encoders'/"
+            "'dgf' components (and --components did not include them). "
+            "Convert with --init-encoders, or train CS3/DGF and save them "
+            "into the pipeline directory."
+        )
 
     if args.single_image and args.prompt is not None:
         brain = brain_data.get(os.path.basename(args.single_image), {})

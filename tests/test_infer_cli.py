@@ -195,6 +195,107 @@ def test_batch_edit_really_shards(tiny_pipe, tmp_path, monkeypatch):
         )
 
 
+def test_main_staged_components_quantized_ckpt(tiny_pipe, tmp_path,
+                                               monkeypatch):
+    """Round-4 staged serving through the USER surface: a convert-time
+    quantized checkpoint served with --components flux,vae,encoders,dgf
+    (the 12B single-chip recipe — text encoders never load) + --int8
+    applying the serving transforms instead of re-quantizing, and the
+    deployed brain replace mode end to end."""
+    import importlib
+
+    from loongx_tpu.cli import infer as infer_mod
+    from loongx_tpu.models.pipeline import LoongXPipeline
+    from loongx_tpu.ops.quant import quantize_tree
+    from loongx_tpu.utils.checkpoint import save_pipeline
+
+    # checkpoint dir: flux quantized at "convert time", dummy CS3/DGF trees
+    pipe = tiny_pipe
+    pipe.params["flux"] = quantize_tree(pipe.params["flux"])
+    pipe.params["encoders"] = {
+        k: {"w": jnp.zeros((1,))} for k in ("eeg", "ppg", "fnirs", "motion")
+    }
+    pipe.params["dgf"] = {"w": jnp.zeros((1,))}
+    ckpt = str(tmp_path / "ckpt")
+    save_pipeline(pipe, ckpt)
+
+    in_dir, names = _make_inputs(tmp_path, 1)
+    pkl = tmp_path / "brain.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({names[0]: {
+            "EEG": np.zeros((1, 4, 16), np.float32),
+            "FNIRS": np.zeros((1, 6, 16), np.float32),
+        }}, f)
+
+    # tiny geometry can't host the full-size CS3 stacks: stub the encode
+    gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+    jd, pd = pipe.flux_cfg.joint_dim, pipe.flux_cfg.pooled_dim
+
+    def fake(enc, dgf, eeg, ppg, fnirs, motion, s4_mode):
+        return (jnp.zeros((1, 8, jd), jnp.float32),
+                jnp.zeros((1, pd), jnp.float32))
+
+    monkeypatch.setattr(gen_mod, "_brain_encode_jit", fake)
+
+    loaded = {}
+    real_fp = LoongXPipeline.from_pretrained
+
+    def spy_fp(path, **kw):
+        p = real_fp(path, **kw)
+        loaded["pipe"] = p
+        loaded["components"] = kw.get("components")
+        return p
+
+    monkeypatch.setattr(LoongXPipeline, "from_pretrained",
+                        staticmethod(spy_fp))
+
+    out_dir = str(tmp_path / "out")
+    infer_mod.main([
+        "--checkpoint", ckpt,
+        "--components", "flux,vae,encoders,dgf",
+        "--int8",
+        "--single_image", os.path.join(in_dir, names[0]),
+        "--prompt", "",
+        "--neural_only",
+        "--brain_data_path", str(pkl),
+        "--output_dir", out_dir,
+        "--steps", "1",
+        "--target_size", "16",
+    ])
+    assert sorted(os.listdir(out_dir)) == names
+    p = loaded["pipe"]
+    assert loaded["components"] == ("flux", "vae", "encoders", "dgf")
+    assert "t5" not in p.params and "clip" not in p.params, (
+        "staging must keep the text encoders OFF the device"
+    )
+    # --int8 on an already-quantized tree applied the serving transforms
+    # (fused qkv + proj_out K-split) instead of re-quantizing
+    assert "to_qkv" in p.params["flux"]["double_blocks"]["attn"]
+    assert "proj_out_mlp" in p.params["flux"]["single_blocks"]
+
+
+def test_main_brain_data_requires_encoders(tiny_pipe, tmp_path, monkeypatch):
+    """--brain_data_path against a checkpoint whose load skipped the
+    encoders components must fail fast with a clear message."""
+    from loongx_tpu.cli import infer as infer_mod
+    from loongx_tpu.utils.checkpoint import save_pipeline
+
+    ckpt = str(tmp_path / "ckpt")
+    save_pipeline(tiny_pipe, ckpt)  # no encoders/dgf components at all
+    in_dir, names = _make_inputs(tmp_path, 1)
+    pkl = tmp_path / "brain.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({names[0]: {"EEG": np.zeros((1, 4, 16), np.float32)}}, f)
+    with pytest.raises(SystemExit):
+        infer_mod.main([
+            "--checkpoint", ckpt,
+            "--single_image", os.path.join(in_dir, names[0]),
+            "--prompt", "",
+            "--brain_data_path", str(pkl),
+            "--output_dir", str(tmp_path / "out"),
+        ])
+
+
 def test_edit_one_brain_fast_path(tiny_pipe, tmp_path, monkeypatch):
     """With EEG+FNIRS and fuse_flag=False, edit_one routes through the
     single-dispatch neural_edit program and still returns a PIL image."""
