@@ -76,6 +76,14 @@ def main():
     rows = []
     base_per_edit = None
     for b in batches:
+        # drop the previous size's executables and their device-resident
+        # constants before compiling the next one — at batch 4+ the unified
+        # [txt|img|cond] activations alongside the 11.9 GiB int8 weights
+        # leave no HBM headroom for a stale executable's buffers
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
         try:
             latents = jax.random.normal(
                 ks[2], (b, s_img, cfg.in_channels), jnp.bfloat16
@@ -92,7 +100,13 @@ def main():
                 )
                 lat = unpack_latents(out, lat_h, lat_w)
                 lat = unscale_latents(vae_cfg, lat).astype(jnp.bfloat16)
-                return vae_decode(vae_params, vae_cfg, lat)
+                # decode per image (one compiled body, sequential over the
+                # batch): batched 512² decoder activations OOM beside the
+                # 11.9 GiB int8 weights at batch>=4, and decode is ~1% of
+                # the edit — batching only matters for the denoise
+                return jax.lax.map(
+                    lambda l: vae_decode(vae_params, vae_cfg, l[None])[0], lat
+                )
 
             _force(edit(latents))  # compile
             times = []
@@ -114,6 +128,7 @@ def main():
                 "band_s": [round(min(times), 3), round(max(times), 3)],
             })
             print(json.dumps(rows[-1]))
+            del latents, txt, pooled, cond, guidance, edit
         except Exception:
             err = traceback.format_exc()
             print(err)

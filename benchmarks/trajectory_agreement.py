@@ -26,6 +26,8 @@ Run on the TPU host:
   python -m benchmarks.trajectory_agreement             # 512 px
   BENCH_SIZE=1024 python -m benchmarks.trajectory_agreement
   TRAJ_PART=B python -m benchmarks.trajectory_agreement # reduced-depth only
+  TRAJ_GATE_STD=1.4 TRAJ_PART=B python -m benchmarks.trajectory_agreement
+    # gate-magnitude sensitivity bracket (0.35 / 0.7 / 1.4)
 """
 
 import gc
@@ -46,6 +48,12 @@ from loongx_tpu.sampling.generate import denoise_scan
 STEPS = int(os.environ.get("BENCH_STEPS", "28"))
 SIZE = int(os.environ.get("BENCH_SIZE", "512"))
 PART = os.environ.get("TRAJ_PART", "AB").upper()
+# TRAJ_GATE_STD brackets the "trained gates are O(1)" assumption: the 0.7
+# default has never been checked against a real checkpoint (none is
+# available here), so the sensitivity sweep runs the same ladder at
+# 0.5x/1x/2x the assumed magnitude — if the int8 drift conclusion holds
+# across the bracket, it does not ride on the exact value
+GATE_STD = float(os.environ.get("TRAJ_GATE_STD", "0.7"))
 
 key = jax.random.key(0)
 ks = jax.random.split(key, 8)
@@ -110,14 +118,14 @@ def compare(ref, x):
     return {"cos": round(cos, 6), "relL2": round(rel, 5)}
 
 
-report = {"size": SIZE, "steps": STEPS}
+report = {"size": SIZE, "steps": STEPS, "gate_std": GATE_STD}
 
 if "A" in PART:
     cfg = FluxConfig.flux_dev()
     params = random_quantized_like(
         ks[0], lambda: init_flux_params(ks[0], cfg, dtype=jnp.bfloat16)
     )
-    params = realistic_adaln_bias(params, ks[6])
+    params = realistic_adaln_bias(params, ks[6], std=GATE_STD)
     inputs = make_inputs()
     ref = run_traj(params, cfg, inputs, w8a8=False, int8_attn=False)
     a = {}
@@ -137,7 +145,7 @@ if "A" in PART:
 if "B" in PART:
     cfg = FluxConfig(num_double_blocks=6, num_single_blocks=12)
     bf16 = init_flux_params(ks[1], cfg, dtype=jnp.bfloat16)
-    bf16 = realistic_adaln_bias(bf16, ks[6])
+    bf16 = realistic_adaln_bias(bf16, ks[6], std=GATE_STD)
     inputs = make_inputs()
     ref = run_traj(bf16, cfg, inputs, w8a8=False, int8_attn=False)
     # quantize ON HOST: quantize_linear's fp32 kernel transients on top of

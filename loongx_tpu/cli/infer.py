@@ -245,6 +245,10 @@ def batch_edit(pipeline, args, brain_data, captions):
                 fuse_flag=args.fuse,
                 neural_only=args.neural_only,
                 output_type="uint8",
+                # chunked decode would serialize the sharded batch axis
+                decode_chunk=(
+                    None if sharded else getattr(args, "decode_chunk", None)
+                ),
                 **kw,
             )
         for fname, arr in zip(chunk, out):  # padded rows fall off the zip
@@ -353,6 +357,12 @@ def main(argv=None):
                         "(data axis = n_devices / tensor).  With --int8 the "
                         "qkv projections are fused in the TP layout so the "
                         "quantized TP serving kernels apply")
+    parser.add_argument("--decode_chunk", type=int, default=None,
+                        help="decode at most this many images per VAE call "
+                        "(single-chip int8-12B serving: batched 512² decoder "
+                        "activations OOM at batch >= 4 while the batched "
+                        "denoise fits; chunking caps decode memory).  "
+                        "Ignored under a multi-device mesh")
     parser.add_argument("--timing", action="store_true",
                         help="report end-to-end wall-clock per image "
                         "(host decode + condition synthesis + denoise + "

@@ -185,6 +185,7 @@ def generate(
     model_config: Optional[Dict[str, Any]] = None,
     attn_backend: str = "auto",
     output_type: str = "np",
+    decode_chunk: Optional[int] = None,
 ):
     """Neural-driven image editing / generation.
 
@@ -193,6 +194,13 @@ def generate(
     ``fuse_flag=False`` replaces text embeds with brain embeds (the deployed
     inference mode, inference.py:115); ``fuse_mode`` selects the documented
     train-vs-infer DUAN wiring (SURVEY §2b asymmetry).
+
+    ``decode_chunk`` bounds how many images the VAE decoder sees at once:
+    on a single chip serving the int8 12B DiT, batched 512² decoder
+    activations OOM at batch >= 4, while the denoise itself fits — chunking
+    the decode (e.g. ``decode_chunk=1``) keeps batched denoise throughput
+    and caps decode memory at the chunk size.  Leave None under a device
+    mesh (the batch axis is sharded; chunking would serialize shards).
 
     Returns images as float32 numpy [B, H, W, 3] in [-1, 1] ("np"),
     uint8 ("uint8"), or raw packed latents ("latent").
@@ -536,8 +544,20 @@ def generate(
     # ---- decode ----
     lat = unpack_latents(out, lat_h, lat_w)
     lat = unscale_latents(pipeline.vae_cfg, lat).astype(pipeline.dtype)
-    images = vae_decode(pipeline.params["vae"], pipeline.vae_cfg, lat)
-    images = np.asarray(images.astype(jnp.float32))
+    if decode_chunk is not None and 0 < decode_chunk < lat.shape[0]:
+        # host-side concat keeps peak device memory at the chunk size
+        images = np.concatenate([
+            np.asarray(
+                vae_decode(
+                    pipeline.params["vae"], pipeline.vae_cfg,
+                    lat[i : i + decode_chunk],
+                ).astype(jnp.float32)
+            )
+            for i in range(0, lat.shape[0], decode_chunk)
+        ])
+    else:
+        images = vae_decode(pipeline.params["vae"], pipeline.vae_cfg, lat)
+        images = np.asarray(images.astype(jnp.float32))
     if output_type == "uint8":
         images = ((np.clip(images, -1, 1) + 1) * 127.5).round().astype(np.uint8)
     return images

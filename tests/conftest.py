@@ -9,6 +9,14 @@ real chip instead.
 
 import os
 
+# CLI entry points under test call utils.compile_cache.enable_compilation_
+# cache(), which would flip the PROCESS-WIDE on-disk executable cache on for
+# every later test: big fp32 compiles (e.g. the full-size CS3 train step)
+# then pay serialization/zstd on the write path — observed to segfault the
+# whole suite under host memory pressure.  Tests never benefit from warm
+# starts across runs; keep the cache off.
+os.environ.setdefault("LOONGX_COMPILE_CACHE", "0")
+
 if "LOONGX_TEST_TPU" not in os.environ:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

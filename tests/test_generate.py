@@ -44,6 +44,19 @@ class TestGenerate:
         np.testing.assert_array_equal(a, b)
         assert not np.array_equal(a, c)
 
+    def test_decode_chunk_matches_batched_decode(self, pipe):
+        """decode_chunk only changes VAE-call granularity, not pixels:
+        chunked decode (single-chip int8-12B serving recipe) must equal
+        the batched decode bit-for-bit."""
+        pe, pool = _embeds(pipe, b=3)
+        kw = dict(prompt_embeds=pe, pooled_prompt_embeds=pool, height=16,
+                  width=16, num_inference_steps=2, attn_backend="xla",
+                  seed=5)
+        full = generate(pipe, **kw)
+        for chunk in (1, 2, 3, 99):
+            chunked = generate(pipe, decode_chunk=chunk, **kw)
+            np.testing.assert_array_equal(full, chunked)
+
     def test_latent_output_and_manual_decode(self, pipe):
         pe, pool = _embeds(pipe)
         lat = generate(
