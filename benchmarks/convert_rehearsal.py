@@ -281,6 +281,13 @@ def main():
         "--vae", os.path.join(ROOT, "vae"),
         "--out", out,
         "--quantize",
+        # REHEARSAL_SERVING=1 additionally bakes the single-chip serving
+        # transforms (fused qkv + proj_out K-split) at convert time — the
+        # production recipe: without it, infer --int8 reshuffles the 12B
+        # tree through the device tunnel on every serve start (~19 min
+        # measured; PARITY.md "Deployed-CLI wall-clock truth")
+        *(["--serving"] if os.environ.get("REHEARSAL_SERVING") == "1"
+          else []),
     ])
     report["convert_s"] = round(time.time() - t0, 1)
     print(f"[rehearsal] converted+quantized in {report['convert_s']}s",

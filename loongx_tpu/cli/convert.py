@@ -139,6 +139,18 @@ def main(argv=None):
         "(23.8 GB) never fits HBM, so quantization cannot happen "
         "device-side after loading (docs/WEIGHTS.md)",
     )
+    parser.add_argument(
+        "--serving", action="store_true",
+        help="also bake the single-chip serving transforms (fused qkv "
+        "projections + single-block proj_out K-split) into the saved "
+        "checkpoint, on host.  The infer CLI applies the same transforms "
+        "after load when they are missing, but at 12B that reshuffles "
+        "~11 GiB through the device tunnel on EVERY serve start; baking "
+        "them at convert time makes serving start = one orbax restore.  "
+        "Do NOT use for tensor-parallel serving (the TP sharding rules "
+        "address the unfused projection axes) or before LoRA attachment "
+        "(adapters address q/k/v individually)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -191,6 +203,19 @@ def main(argv=None):
             for name in ("flux", "t5", "clip"):
                 print(f"[convert] int8-quantize {name} (host) ...")
                 params[name] = quantize_tree(params[name])
+
+        if args.serving:
+            from loongx_tpu.ops.quant import (
+                fuse_qkv_projections, split_single_proj_out,
+            )
+
+            print("[convert] bake serving transforms (host) ...")
+            params["flux"] = fuse_qkv_projections(
+                params["flux"], consume=True
+            )
+            params["flux"] = split_single_proj_out(
+                params["flux"], flux_cfg.hidden, consume=True
+            )
 
         if args.init_encoders:
             from loongx_tpu.models.encoders import (

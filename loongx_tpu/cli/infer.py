@@ -413,10 +413,23 @@ def main(argv=None):
             "kernel_q" in t or any(_has_quant(v) for v in t.values())
         )
 
+    def _has_fused_qkv(t):
+        return isinstance(t, dict) and (
+            "to_qkv" in t or any(_has_fused_qkv(v) for v in t.values())
+        )
+
+    if args.tensor > 1 and _has_fused_qkv(pipeline.params.get("flux", {})):
+        parser.error(
+            "--tensor > 1 on a checkpoint with baked serving transforms "
+            "(fused qkv): the TP sharding rules address the unfused "
+            "projection axes.  Re-convert without --serving for "
+            "tensor-parallel serving."
+        )
     if args.int8 and _has_quant(pipeline.params.get("flux", {})):
         # checkpoint was converted with --quantize: kernel_q leaves restore
         # directly; re-quantizing would be lossy.  Apply the serving
-        # transforms the load-time path would have applied.
+        # transforms the load-time path would have applied (no-ops leaf by
+        # leaf when the checkpoint already baked them via convert --serving).
         print("[infer] checkpoint already int8; applying serving transforms")
         from loongx_tpu.ops.quant import (
             fuse_qkv_projections, split_single_proj_out,

@@ -274,6 +274,85 @@ def test_main_staged_components_quantized_ckpt(tiny_pipe, tmp_path,
     assert "proj_out_mlp" in p.params["flux"]["single_blocks"]
 
 
+def test_main_baked_serving_checkpoint(tiny_pipe, tmp_path, monkeypatch):
+    """convert --serving bakes the serving transforms into the checkpoint;
+    infer --int8 on such a checkpoint must (a) not disturb the baked
+    layout (the transforms are no-ops leaf by leaf), (b) refuse --tensor>1
+    (TP shards the unfused axes), and (c) edit end to end."""
+    import importlib
+
+    from loongx_tpu.cli import infer as infer_mod
+    from loongx_tpu.models.pipeline import LoongXPipeline
+    from loongx_tpu.ops.quant import (
+        fuse_qkv_projections, quantize_tree, split_single_proj_out,
+    )
+    from loongx_tpu.utils.checkpoint import save_pipeline
+
+    pipe = tiny_pipe
+    # what cli/convert.py --quantize --serving writes (host-side)
+    flux = quantize_tree(pipe.params["flux"])
+    flux = fuse_qkv_projections(flux, consume=True)
+    flux = split_single_proj_out(flux, pipe.flux_cfg.hidden, consume=True)
+    pipe.params["flux"] = flux
+    pipe.params["encoders"] = {
+        k: {"w": jnp.zeros((1,))} for k in ("eeg", "ppg", "fnirs", "motion")
+    }
+    pipe.params["dgf"] = {"w": jnp.zeros((1,))}
+    ckpt = str(tmp_path / "ckpt")
+    save_pipeline(pipe, ckpt)
+
+    in_dir, names = _make_inputs(tmp_path, 1)
+    pkl = tmp_path / "brain.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({names[0]: {
+            "EEG": np.zeros((1, 4, 16), np.float32),
+            "FNIRS": np.zeros((1, 6, 16), np.float32),
+        }}, f)
+
+    gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+    jd, pd = pipe.flux_cfg.joint_dim, pipe.flux_cfg.pooled_dim
+
+    def fake(enc, dgf, eeg, ppg, fnirs, motion, s4_mode):
+        return (jnp.zeros((1, 8, jd), jnp.float32),
+                jnp.zeros((1, pd), jnp.float32))
+
+    monkeypatch.setattr(gen_mod, "_brain_encode_jit", fake)
+
+    loaded = {}
+    real_fp = LoongXPipeline.from_pretrained
+
+    def spy_fp(path, **kw):
+        p = real_fp(path, **kw)
+        loaded["pipe"] = p
+        return p
+
+    monkeypatch.setattr(LoongXPipeline, "from_pretrained",
+                        staticmethod(spy_fp))
+
+    base = [
+        "--checkpoint", ckpt,
+        "--components", "flux,vae,encoders,dgf",
+        "--int8",
+        "--single_image", os.path.join(in_dir, names[0]),
+        "--prompt", "",
+        "--neural_only",
+        "--brain_data_path", str(pkl),
+        "--output_dir", str(tmp_path / "out"),
+        "--steps", "1",
+        "--target_size", "16",
+    ]
+    # (b) fused checkpoint + --tensor 2 fails fast
+    with pytest.raises(SystemExit):
+        infer_mod.main(base + ["--tensor", "2"])
+    # (a)+(c) baked layout survives untouched and the edit runs
+    infer_mod.main(base)
+    assert sorted(os.listdir(str(tmp_path / "out"))) == names
+    p = loaded["pipe"]
+    dbl = p.params["flux"]["double_blocks"]["attn"]
+    assert "to_qkv" in dbl and "to_q" not in dbl
+    assert "proj_out_mlp" in p.params["flux"]["single_blocks"]
+
+
 def test_main_brain_data_requires_encoders(tiny_pipe, tmp_path, monkeypatch):
     """--brain_data_path against a checkpoint whose load skipped the
     encoders components must fail fast with a clear message."""
