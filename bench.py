@@ -359,7 +359,10 @@ def main():
                 )
 
             fused_dt = _measure(fused_edit, latents)
-            band = _measure.last_band or band
+            # the fused stage is now the headline — its band (possibly None
+            # for single-repeat runs) replaces the denoise+decode band rather
+            # than silently keeping a different stage's variance
+            band = _measure.last_band
         except Exception:  # noqa: BLE001
             errors.append(
                 "fused: "

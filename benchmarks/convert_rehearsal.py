@@ -121,8 +121,11 @@ def synth_flux(dirname, nd, ns, h=3072, mlp=12288, joint=4096, pooled=768,
         # per-head RMS norm weights init at 1.0, everything else N(0, 0.02)
         scale = 1.0 if ".attn.norm" in key else 0.02
         add(key, shape, scale)
-        # flush per block (the writer also flushes at the shard-size bound)
-        block = key.split(".attn")[0].split(".norm")[0] if (
+        # flush per block (the writer also flushes at the shard-size bound):
+        # the block id is the first two key segments ("transformer_blocks.3"),
+        # so ff/proj_mlp/proj_out tensors stay in their block's shard instead
+        # of forcing a flush per tensor
+        block = ".".join(key.split(".")[:2]) if (
             "transformer_blocks" in key
         ) else None
         if block != last_block:

@@ -245,9 +245,12 @@ def batch_edit(pipeline, args, brain_data, captions):
                 fuse_flag=args.fuse,
                 neural_only=args.neural_only,
                 output_type="uint8",
-                # chunked decode would serialize the sharded batch axis
+                # chunked decode would serialize a SHARDED batch axis; under
+                # pure tensor parallelism (n_data == 1) the batch axis is
+                # unsharded and chunking stays valid (and is what caps the
+                # batched VAE-decode memory)
                 decode_chunk=(
-                    None if sharded else getattr(args, "decode_chunk", None)
+                    None if n_data > 1 else getattr(args, "decode_chunk", None)
                 ),
                 **kw,
             )
@@ -271,6 +274,15 @@ def batch_edit(pipeline, args, brain_data, captions):
             f"{len(times)} images (host decode + condition synthesis + "
             f"denoise + PNG write)"
         )
+
+
+def _tree_has_key(tree, key: str) -> bool:
+    """True if ``key`` appears as a dict key anywhere in the nested param
+    tree — the one probe behind "is this tree int8-quantized" (kernel_q)
+    and "does it carry baked fused-qkv serving layout" (to_qkv)."""
+    return isinstance(tree, dict) and (
+        key in tree or any(_tree_has_key(v, key) for v in tree.values())
+    )
 
 
 def _load_lora_tree(pipeline, path: str):
@@ -304,12 +316,7 @@ def _attach_lora(pipeline, path: str, name=None):
 
     tree = _load_lora_tree(pipeline, path)
     if name is None:
-        def _quantized(t):
-            return isinstance(t, dict) and (
-                "kernel_q" in t or any(_quantized(v) for v in t.values())
-            )
-
-        if _quantized(tree):
+        if _tree_has_key(tree, "kernel_q"):
             # int8 base: merging would requantize the folded weights (lossy)
             # and merge_lora refuses; keep the deltas live — linear() applies
             # them on top of the quant matmul exactly (QLoRA-style serving)
@@ -408,24 +415,16 @@ def main(argv=None):
     pipeline = LoongXPipeline.from_pretrained(
         args.checkpoint, components=components
     )
-    def _has_quant(t):
-        return isinstance(t, dict) and (
-            "kernel_q" in t or any(_has_quant(v) for v in t.values())
-        )
-
-    def _has_fused_qkv(t):
-        return isinstance(t, dict) and (
-            "to_qkv" in t or any(_has_fused_qkv(v) for v in t.values())
-        )
-
-    if args.tensor > 1 and _has_fused_qkv(pipeline.params.get("flux", {})):
+    if args.tensor > 1 and _tree_has_key(
+        pipeline.params.get("flux", {}), "to_qkv"
+    ):
         parser.error(
             "--tensor > 1 on a checkpoint with baked serving transforms "
             "(fused qkv): the TP sharding rules address the unfused "
             "projection axes.  Re-convert without --serving for "
             "tensor-parallel serving."
         )
-    if args.int8 and _has_quant(pipeline.params.get("flux", {})):
+    if args.int8 and _tree_has_key(pipeline.params.get("flux", {}), "kernel_q"):
         # checkpoint was converted with --quantize: kernel_q leaves restore
         # directly; re-quantizing would be lossy.  Apply the serving
         # transforms the load-time path would have applied (no-ops leaf by

@@ -351,8 +351,6 @@ def linear(
                 p["kernel_scale"].reshape(nb, 1, -1), p["_blk"],
             )
             y = maybe_dp_rowshard(quant_matmul_stacked_vjp, 1, 1, *qargs)
-            if y is None:
-                y = quant_matmul_stacked_vjp(*qargs)
             y = y.reshape(*lead, -1).astype(jnp.float32)
     elif "kernel_q" in p:  # int8 weight-only quantized (ops/quant.py)
         if _use_pallas_qmm(p):
@@ -373,8 +371,6 @@ def linear(
                 p["kernel_scale"].reshape(1, -1),
             )
             y = maybe_dp_rowshard(qmm, 1, 1, *qargs)
-            if y is None:
-                y = qmm(*qargs)
             y = y.reshape(*lead, -1).astype(jnp.float32)
         else:
             w = (
@@ -439,8 +435,6 @@ def linear_gelu(
                 _bias3(p), p["_blk"],
             )
             y = maybe_dp_rowshard(quant_linear_gelu_stacked, 1, 1, *qargs)
-            if y is None:
-                y = quant_linear_gelu_stacked(*qargs)
             return y.reshape(*lead, -1).astype(x.dtype)
         if _use_pallas_qmm(p) and not (use_lora and "lora_a" in p):
             from loongx_tpu.ops.quant_matmul import quant_linear_gelu
@@ -457,8 +451,6 @@ def linear_gelu(
                 p["kernel_q"], p["kernel_scale"].reshape(1, -1), bias,
             )
             y = maybe_dp_rowshard(quant_linear_gelu, 1, 1, *qargs)
-            if y is None:
-                y = quant_linear_gelu(*qargs)
             return y.reshape(*lead, -1).astype(x.dtype)
     return gelu_tanh(linear(p, x, use_lora, lora_mask, tp_kind=tp_kind))
 
@@ -630,20 +622,22 @@ def _fused_qkv_stacked(p, nq, nk, x, num_heads: int, ln_mod=None):
             p["kernel_scale"].reshape(nb, 1, 3 * h), _bias3(p, (nb, 1, 3 * h)),
             norm_w, p["_blk"],
         )
-        out3 = None
         if ab is None:
             # batch-sharded serving: rows shard over the data axis
             from loongx_tpu.parallel.tp_quant import maybe_dp_rowshard
 
-            out3 = maybe_dp_rowshard(
+            q, k, v = maybe_dp_rowshard(
                 lambda x2, wq, sc, b3, nw, blk: quant_qkv_stacked(
                     x2, wq, sc, b3, nw, blk, hd
                 ),
                 1, 3, *qkv_args,
             )
-        q, k, v = out3 if out3 is not None else quant_qkv_stacked(
-            *qkv_args[:6], hd, ab=ab, seg_boundary=boundary,
-        )
+        else:
+            # ab segments rows against the GLOBAL seg_boundary — never
+            # row-shard it (see tp_quant._data_axis_for rationale)
+            q, k, v = quant_qkv_stacked(
+                *qkv_args[:6], hd, ab=ab, seg_boundary=boundary,
+            )
     shape = (b, s, num_heads, hd)
     return (
         q.reshape(shape).astype(x.dtype),

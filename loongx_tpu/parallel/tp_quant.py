@@ -56,27 +56,31 @@ def _data_axis_for(mesh, m: int) -> Optional[str]:
 
 def maybe_dp_rowshard(fn, n_row: int, n_out: int, *args):
     """Run a row-parallel kernel per data shard under an active mesh
-    context (pure data parallelism: no collectives inside).
+    context (pure data parallelism: no collectives inside), or run the
+    bare kernel when no data sharding applies.
 
     The first ``n_row`` args shard on their leading axis over the data
     axis; the rest are replicated; every output is leading-axis sharded.
-    Returns None (caller falls back to the bare kernel) when no non-trivial
-    data axis is active, a tensor axis is active (the TP wrappers own that
-    case), or a row count doesn't divide the axis.  ``fn`` keeps its
-    custom_vjp: shard_map differentiates the body per shard, so DP training
-    runs the Pallas forward AND backward kernels; weight/scale cotangents
-    (zeros — the int8 base is frozen) psum over the data axis exactly as
-    GSPMD would."""
+    Falls back to ``fn(*args)`` directly when no non-trivial data axis is
+    active, a tensor axis is active (the TP wrappers own that case), or a
+    row count doesn't divide the axis.  ``fn`` keeps its custom_vjp:
+    shard_map differentiates the body per shard, so DP training runs the
+    Pallas forward AND backward kernels; weight/scale cotangents (zeros —
+    the int8 base is frozen) psum over the data axis exactly as GSPMD
+    would."""
     from loongx_tpu.parallel.mesh import current_dp, current_tp
+
+    def plain():
+        return fn(*args)
 
     dp = current_dp()
     if dp is None or current_tp() is not None:
-        return None
+        return plain()
     mesh, axis = dp
     n = mesh.shape[axis]
     for a in args[:n_row]:
         if a is None or a.shape[0] % n:
-            return None
+            return plain()
 
     def row_spec(a):
         return P(axis, *([None] * (a.ndim - 1)))
@@ -127,8 +131,16 @@ def tp_quant_matmul_stacked(
         "col": P(None, None, axis), "row": P(None, axis, None), "repl": P()
     }[kind]
     # a simultaneous data axis (mesh_context) shards the row (batch*seq)
-    # dim of x / resid / out — 2D data x tensor serving in one wrapper
-    da = _data_axis_for(mesh, x2.shape[0])
+    # dim of x / resid / out — 2D data x tensor serving in one wrapper.
+    # NOT with the ab prologue or gate epilogue: both segment rows against
+    # the GLOBAL seg_boundary (img|cond split), and a row shard restarts
+    # its local indices at 0 — every shard past the first would apply the
+    # wrong segment's affine/gate.  Those fusions are b=1-only anyway
+    # (_elementwise_fusable), so the rows are one sequence, not a batch.
+    da = (
+        None if (ab is not None or gate is not None)
+        else _data_axis_for(mesh, x2.shape[0])
+    )
     sspec = P(None, None, axis) if kind == "col" else P()
     xspec = P(da, axis) if kind == "row" else P(da, None)
     ospec = P(da, axis) if kind == "col" else P(da, None)
@@ -206,7 +218,9 @@ def tp_quant_qkv_stacked(
         return q, kk, v
 
     hs = P(None, None, None, axis)
-    da = _data_axis_for(mesh, x2.shape[0])  # rows also shard under a 2D mesh
+    # rows also shard under a 2D mesh — but not with the ab prologue, whose
+    # seg_boundary addresses GLOBAL row indices (see tp_quant_matmul_stacked)
+    da = None if ab is not None else _data_axis_for(mesh, x2.shape[0])
     return shard_map(
         local,
         mesh=mesh,

@@ -275,15 +275,21 @@ def train(
     # completion) the prefetch would otherwise decode + VAE/T5-encode a full
     # batch just to discard it.
     window = []  # per-micro metrics of the current accumulation span
-    # mesh_context: with a non-trivial mesh axis the Pallas kernels (flash
+    # mesh_context: with a non-trivial data axis the Pallas kernels (flash
     # attention fwd/bwd, int8 quant custom_vjp) run per-shard via shard_map
     # instead of falling back to XLA math — multi-device training keeps the
     # same kernels that make single-chip QLoRA fast.  Trace-time routing:
     # the context must wrap the step call that triggers compilation.
+    # tensor_axis=None: the TP quant wrappers are SERVING-ONLY (no
+    # custom_vjp, parallel/tp_quant.py) — activating the tensor axis here
+    # would route frozen stacked-int8 layers through a non-differentiable
+    # pallas_call and fail at the first grad trace.  Training under a
+    # tensor>1 mesh keeps the differentiable kernels (data-axis shard_map /
+    # XLA dequant), with GSPMD resharding the TP-placed weights.
     from loongx_tpu.parallel.mesh import mesh_context
 
     if total_micro > start_micro:
-        with mesh_context(mesh):
+        with mesh_context(mesh, tensor_axis=None):
             for batch in background_iter(device_batches(), depth=1):
                 if micro >= total_micro:
                     break

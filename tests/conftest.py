@@ -24,9 +24,30 @@ if "LOONGX_TEST_TPU" not in os.environ:
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
+import gc  # noqa: E402
+
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 if "LOONGX_TEST_TPU" not in os.environ:
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_executables_between_modules():
+    """Free jit caches (compiled XLA executables + their host constants)
+    after every test module.
+
+    The full suite performs several hundred compiles; without this the
+    process accumulates every executable it ever built and, near the end of
+    the run, allocation failures inside XLA/zstd surface as SIGSEGV rather
+    than MemoryError (observed twice at >85% suite progress, in
+    backend_compile_and_load and the compile-cache zstd writer — both green
+    when their module runs alone).  Cross-module warm jits are rare (tests
+    build fresh pipelines/lambdas), so this costs little time and caps the
+    high-water mark."""
+    yield
+    jax.clear_caches()
+    gc.collect()

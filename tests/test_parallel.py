@@ -359,3 +359,59 @@ class TestQuantizedTP:
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             atol=5e-2, rtol=5e-2,
         )
+
+    def test_2d_mesh_fused_elementwise_keeps_global_segments(
+        self, monkeypatch
+    ):
+        """Regression: under a 2D (data x tensor) mesh_context at b=1 with a
+        condition stream, the fused LN+adaLN prologue and gate+residual
+        epilogue segment rows against the GLOBAL img|cond boundary — the TP
+        wrappers must NOT shard the row axis over the data axis for those
+        calls (a row shard restarts local indices at 0, so every shard past
+        the first would apply the wrong segment's affine/gate).  Mirrors the
+        deployed 2D fused serving mode (/root/reference/inference.py:177-261
+        behavioral scope)."""
+        from loongx_tpu.models.flux.model import flux_forward
+        from loongx_tpu.ops.quant import fuse_qkv_projections, quantize_tree
+        from loongx_tpu.parallel.mesh import mesh_context
+
+        pipe = LoongXPipeline.tiny(jax.random.key(0))
+        cfg = pipe.flux_cfg
+        params_q = quantize_tree(pipe.params["flux"])
+        # b=1 WITH cond: fused [img | cond] stream rows = 32, divisible by
+        # data=4 — exactly the geometry where a row shard would misapply
+        # the segment affine pre-fix
+        batch = dict(
+            img=jax.random.normal(jax.random.key(1), (1, 16, cfg.in_channels)),
+            txt=jax.random.normal(jax.random.key(2), (1, 4, cfg.joint_dim)),
+            pooled=jax.random.normal(jax.random.key(3), (1, cfg.pooled_dim)),
+            timestep=jnp.array([0.5]),
+            guidance=jnp.array([3.5]),
+            img_ids=latent_image_ids(8, 8),
+            txt_ids=jnp.zeros((4, 3)),
+            cond=jax.random.normal(jax.random.key(4), (1, 16, cfg.in_channels)),
+            cond_ids=latent_image_ids(8, 8),
+        )
+        monkeypatch.setenv("LOONGX_STACKED_QMM", "0")
+        ref = flux_forward(params_q, cfg, **batch, attn_backend="xla")
+
+        fused = dict(params_q)
+        fused["double_blocks"] = fuse_qkv_projections(
+            params_q["double_blocks"], tp_layout=True
+        )
+        fused["single_blocks"] = fuse_qkv_projections(
+            params_q["single_blocks"], tp_layout=True
+        )
+        mesh = make_mesh(data=4, tensor=2)
+        params_sh = shard_params(fused, mesh)
+        monkeypatch.setenv("LOONGX_STACKED_QMM", "1")
+        monkeypatch.setenv("LOONGX_FUSE_LN", "1")
+        monkeypatch.setenv("LOONGX_FUSE_GATE", "1")
+        with mesh_context(mesh):
+            out = jax.jit(
+                lambda p, b: flux_forward(p, cfg, **b, attn_backend="xla")
+            )(params_sh, batch)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
