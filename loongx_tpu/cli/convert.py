@@ -216,6 +216,26 @@ def main(argv=None):
             params["flux"] = split_single_proj_out(
                 params["flux"], flux_cfg.hidden, consume=True
             )
+            # ADVICE r4: both transforms silently return the tree unchanged
+            # on unexpected layouts — a convert run must not claim a serving
+            # checkpoint that still pays the load-time reshuffle
+            def _has(tree, key):
+                return isinstance(tree, dict) and (
+                    key in tree or any(_has(v, key) for v in tree.values())
+                )
+
+            missing = [
+                k for k in ("to_qkv", "proj_out_mlp")
+                if not _has(params["flux"], k)
+            ]
+            if missing:
+                raise SystemExit(
+                    f"[convert] --serving failed to bake {missing}: the "
+                    "flux tree's q/k/v (or single-block proj_out) leaves "
+                    "are not in the expected layout — refusing to write a "
+                    "checkpoint that would still pay the load-time "
+                    "transform"
+                )
 
         if args.init_encoders:
             from loongx_tpu.models.encoders import (

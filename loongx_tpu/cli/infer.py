@@ -124,7 +124,73 @@ def edit_one(
     return Image.fromarray(out[0])
 
 
-def batch_edit(pipeline, args, brain_data, captions):
+def list_images(input_dir: str):
+    return sorted(
+        f for f in os.listdir(input_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+
+
+def _effective_brain(brain: Dict) -> Dict:
+    """Per-image effective signal set, reference semantics: signals are
+    looked up independently per image (inference.py:99-115) and brain
+    conditioning engages iff EEG or fNIRS is present
+    (``use_brain_condition``, inference.py:97).  PPG only fuses alongside
+    EEG and Motion only alongside fNIRS (pairwise DGF, generate.py:167-237),
+    so a PPG/Motion without its partner is dropped here — exactly what the
+    reference's fusion does with it."""
+    eff = {}
+    if brain.get("EEG") is not None:
+        eff["EEG"] = brain["EEG"]
+        if brain.get("PPG") is not None:
+            eff["PPG"] = brain["PPG"]
+    if brain.get("FNIRS") is not None:
+        eff["FNIRS"] = brain["FNIRS"]
+        if brain.get("Motion") is not None:
+            eff["Motion"] = brain["Motion"]
+    return eff
+
+
+def staged_text_encode(checkpoint, files, captions, default_prompt,
+                       int8=False, chunk=8, max_sequence_length=None):
+    """Phase 1 of the staged fuse recipe (docs/WEIGHTS.md): load ONLY the
+    text encoders + tokenizers, encode every file's prompt batched, return
+    per-file float32 embeds, and drop the encoders — the caller then loads
+    the DiT into the freed memory.  The reference's fuse path needs real
+    text embeds (src/flux/generate.py:167-258), but at the 12B scale the
+    int8 DiT and int8 T5-XXL cannot be co-resident on one ~16 GB chip.
+
+    Per-row results are independent of chunk composition (fixed-length
+    padding), so staged embeds equal what the resident path would encode
+    per group (tested in tests/test_infer_cli.py)."""
+    import gc
+
+    from loongx_tpu.models.pipeline import LoongXPipeline
+
+    tp = LoongXPipeline.from_pretrained(checkpoint, components=("t5", "clip"))
+    if max_sequence_length is not None:
+        tp.max_sequence_length = max_sequence_length
+    if int8:
+        tp.quantize(dit=False)
+    prompts = [captions.get(f, default_prompt or "") for f in files]
+    embeds: Dict[str, tuple] = {}
+    for s in range(0, len(files), chunk):
+        pe, pl, _ = tp.encode_text(prompts[s : s + chunk])
+        pe = np.asarray(pe.astype(jnp.float32))
+        pl = np.asarray(pl.astype(jnp.float32))
+        for i, f in enumerate(files[s : s + chunk]):
+            embeds[f] = (pe[i], pl[i])
+    print(
+        f"[infer] staged text encode: {len(embeds)} prompts embedded; "
+        "freeing text encoders"
+    )
+    tp.free_text_encoders()
+    del tp
+    gc.collect()
+    return embeds
+
+
+def batch_edit(pipeline, args, brain_data, captions, text_embeds=None):
     """Directory batch mode: images are grouped into batches and edited in
     ONE sharded generate call per group over a ("data", "tensor") device
     mesh — the TPU-native replacement for the reference's mp.spawn + NCCL +
@@ -135,9 +201,27 @@ def batch_edit(pipeline, args, brain_data, captions):
     under ``--tensor N``), and per group the initial latents, condition
     tokens and biosignals are ``device_put`` with a batch-axis
     NamedSharding, so each chip denoises its slice of the group and the
-    Pallas kernels run per shard (``mesh_context``).  The final group is
-    padded (by repeating its last image) to a multiple of the data axis;
-    padded outputs are dropped."""
+    Pallas kernels run per shard (``mesh_context``).  The final group of a
+    bucket is padded (by repeating its last image) to a multiple of the
+    data axis; padded outputs are dropped.
+
+    Reference-parity semantics (each image's result is independent of the
+    directory around it and of ``--batch_size``):
+
+      * every image gets the SAME config-seed initial noise — the reference
+        reseeds a fresh generator per image (inference.py:83-84), so noise
+        does not depend on position-in-group;
+      * biosignals are looked up PER IMAGE (inference.py:99-115): files are
+        bucketed by their effective signal coverage and each bucket runs
+        with exactly its signals (a batched encode cannot mix coverage
+        patterns); uncovered images are edited without brain conditioning,
+        with a visible warning;
+      * the named-adapter switch applies per generate call
+        (``condition_type=args.condition_type``, reference generate.py:279).
+
+    ``text_embeds``: optional {fname: (prompt_embed, pooled)} from
+    ``staged_text_encode`` — groups then run on precomputed embeds so the
+    text encoders need not be resident (the staged 12B fuse recipe)."""
     import time as _time
 
     import numpy as np
@@ -151,10 +235,7 @@ def batch_edit(pipeline, args, brain_data, captions):
     from loongx_tpu.parallel.mesh import mesh_context
 
     os.makedirs(args.output_dir, exist_ok=True)
-    files = sorted(
-        f for f in os.listdir(args.input_dir)
-        if f.lower().endswith((".png", ".jpg", ".jpeg"))
-    )
+    files = list_images(args.input_dir)
     n_dev = len(jax.devices())
     tensor = max(1, getattr(args, "tensor", 1) or 1)
     mesh = make_mesh(data=-1, tensor=tensor)
@@ -174,98 +255,171 @@ def batch_edit(pipeline, args, brain_data, captions):
     group = max(args.batch_size or n_data, 1)
     if sharded and group % n_data:
         group = -(-group // n_data) * n_data  # round up to the data axis
+    if getattr(args, "decode_chunk", None) and n_data > 1:
+        # ADVICE r4: the flag exists to cap VAE-decode memory; dropping it
+        # silently under a sharded batch axis hides that the per-device
+        # decode batch is still group/n_data
+        print(
+            f"[infer] notice: --decode_chunk is ignored under a sharded "
+            f"data axis (chunking would serialize the shards); per-device "
+            f"decode batch is {group // n_data} — lower --batch_size if "
+            f"the batched VAE decode OOMs"
+        )
+
+    # ---- per-image brain lookup, bucketed by effective coverage ----
+    buckets: Dict[tuple, list] = {}
+    eff_of: Dict[str, Dict] = {}
+    for fname in files:
+        brain = brain_data.get(fname, {})
+        eff = _effective_brain(brain)
+        for k, partner in (("PPG", "EEG"), ("Motion", "FNIRS")):
+            if brain.get(k) is not None and k not in eff:
+                print(
+                    f"[infer] warning: {fname}: {k} present without "
+                    f"{partner} — {k} only fuses alongside {partner}; "
+                    "it is ignored"
+                )
+        if brain_data and not eff:
+            print(
+                f"[infer] warning: {fname}: no EEG/fNIRS in brain data — "
+                "edited WITHOUT brain conditioning"
+            )
+        eff_of[fname] = eff
+        buckets.setdefault(tuple(sorted(eff)), []).append(fname)
+    if getattr(args, "neural_only", False):
+        # fail BEFORE any compute: under --neural_only there are no text
+        # embeds to back a missing slot, so every image needs EEG+FNIRS —
+        # an uncovered bucket would only crash after its group started
+        bad = [f for f in files if not {"EEG", "FNIRS"} <= set(eff_of[f])]
+        if bad:
+            raise SystemExit(
+                f"[infer] --neural_only requires EEG+FNIRS brain coverage "
+                f"for every image (brain embeds replace the text embeds; "
+                f"there is nothing to back a missing slot), but "
+                f"{len(bad)}/{len(files)} images lack it: {bad[:5]}"
+                + ("..." if len(bad) > 5 else "")
+            )
     print(
         f"[infer] {len(files)} images, groups of {group} on mesh "
         f"{dict(mesh.shape)}"
+        + (
+            f", {len(buckets)} brain-coverage buckets "
+            f"{sorted(buckets, key=lambda s: (len(s), s))}"
+            if len(buckets) > 1 else ""
+        )
     )
     size = args.target_size
     vae_scale = pipeline.vae_cfg.downscale
     lat_h = lat_w = size // vae_scale
     n_tok = (lat_h // 2) * (lat_w // 2)
+    # initial noise: ONE config-seed draw shared by every image — the
+    # reference reseeds per image (inference.py:83-84), so the same image
+    # yields the same output at any --batch_size / directory composition
+    # (and equals the --single_image path, which draws this same [1,...]
+    # normal inside generate()).  k_enc likewise matches the single path's
+    # condition-latent sampling key (generate() splits key(seed) the same
+    # way), so batch and single editions of one image are bit-identical.
+    k_lat, k_enc = jax.random.split(jax.random.key(args.seed))
+    noise1 = jax.random.normal(
+        k_lat, (1, lat_h // 2, lat_w // 2, pipeline.flux_cfg.in_channels),
+        jnp.float32,
+    ).reshape(1, n_tok, pipeline.flux_cfg.in_channels)
     done, times = 0, []
-    for start in range(0, len(files), group):
-        t0 = _time.time()
-        chunk = files[start : start + group]
-        # pad the tail group so the batch axis divides the mesh
-        pad = (-len(chunk)) % n_data if sharded else 0
-        proc = chunk + [chunk[-1]] * pad
-        conds, prompts = [], []
-        for fname in proc:
-            img = Image.open(
-                os.path.join(args.input_dir, fname)
-            ).convert("RGB").resize((size, size))
-            cimg = synthesize_condition_image(args.condition_type, img)
-            arr = np.asarray(cimg, np.float32)[None] / 127.5 - 1.0
-            toks, h, w = pipeline.encode_image_tokens(jnp.asarray(arr))
-            conds.append(np.asarray(toks[0]))
-            prompts.append(captions.get(fname, args.prompt or ""))
-        b = len(proc)
-        cond_tokens = put(jnp.asarray(np.stack(conds)))
-        cond_ids = shift_ids(
-            latent_image_ids(h, w),
-            (args.position_delta_x, args.position_delta_y),
-        )
-        # initial latents: same construction generate() would use (so the
-        # sharded group run equals the unsharded call bit-for-bit), but
-        # device_put with the batch-axis sharding BEFORE the denoise scan
-        k_lat, _ = jax.random.split(jax.random.key(args.seed))
-        latents = jax.random.normal(
-            k_lat, (b, lat_h // 2, lat_w // 2, pipeline.flux_cfg.in_channels),
-            jnp.float32,
-        ).reshape(b, n_tok, pipeline.flux_cfg.in_channels)
-        latents = put(latents.astype(pipeline.dtype))
-        # biosignals: batch only when every image in the group has them
-        brains = [brain_data.get(f, {}) for f in proc]
-        use_brain = all(b_.get("EEG") is not None for b_ in brains) and brains
-        kw = {}
-        if use_brain:
+    for sig in sorted(buckets, key=lambda s: (len(s), s)):
+        bucket = buckets[sig]
+        for start in range(0, len(bucket), group):
+            t0 = _time.time()
+            chunk = bucket[start : start + group]
+            # pad the tail group so the batch axis divides the mesh
+            pad = (-len(chunk)) % n_data if sharded else 0
+            proc = chunk + [chunk[-1]] * pad
+            conds, prompts = [], []
+            for fname in proc:
+                img = Image.open(
+                    os.path.join(args.input_dir, fname)
+                ).convert("RGB").resize((size, size))
+                cimg = synthesize_condition_image(args.condition_type, img)
+                arr = np.asarray(cimg, np.float32)[None] / 127.5 - 1.0
+                toks, h, w = pipeline.encode_image_tokens(
+                    jnp.asarray(arr), key=k_enc
+                )
+                conds.append(np.asarray(toks[0]))
+                prompts.append(captions.get(fname, args.prompt or ""))
+            b = len(proc)
+            cond_tokens = put(jnp.asarray(np.stack(conds)))
+            cond_ids = shift_ids(
+                latent_image_ids(h, w),
+                (args.position_delta_x, args.position_delta_y),
+            )
+            latents = put(
+                jnp.tile(noise1, (b, 1, 1)).astype(pipeline.dtype)
+            )
+            # biosignals: the bucket guarantees every image carries exactly
+            # the signals in ``sig``
+            kw = {}
             for key, name in (("EEG", "eeg"), ("FNIRS", "fnirs"),
                               ("PPG", "ppg"), ("Motion", "motion")):
-                vals = [b_.get(key) for b_ in brains]
-                if all(v is not None for v in vals):
+                if key in sig:
                     from loongx_tpu.models.encoders import canonicalise_signal
 
                     kw[name] = put(jnp.stack([
-                        canonicalise_signal(jnp.asarray(v, jnp.float32), name)[0]
-                        for v in vals
+                        canonicalise_signal(
+                            jnp.asarray(eff_of[f][key], jnp.float32), name
+                        )[0]
+                        for f in proc
                     ]))
-        with mesh_context(mesh):
-            out = sampling.generate(
-                pipeline,
-                prompt=prompts,
-                cond_tokens=cond_tokens,
-                cond_ids=cond_ids,
-                height=size,
-                width=size,
-                num_inference_steps=args.steps,
-                guidance_scale=args.guidance,
-                seed=args.seed,
-                latents=latents,
-                use_brain_condition=bool(kw),
-                fuse_flag=args.fuse,
-                neural_only=args.neural_only,
-                output_type="uint8",
-                # chunked decode would serialize a SHARDED batch axis; under
-                # pure tensor parallelism (n_data == 1) the batch axis is
-                # unsharded and chunking stays valid (and is what caps the
-                # batched VAE-decode memory)
-                decode_chunk=(
-                    None if n_data > 1 else getattr(args, "decode_chunk", None)
-                ),
-                **kw,
-            )
-        for fname, arr in zip(chunk, out):  # padded rows fall off the zip
-            out_path = os.path.join(args.output_dir, fname)
-            Image.fromarray(arr).save(out_path)
-            done += 1
-            print(f"[infer] [{done}/{len(files)}] {out_path}")
-        dt = _time.time() - t0
-        times.extend([dt / len(chunk)] * len(chunk))
-        if getattr(args, "timing", False):
-            print(
-                f"[infer] group of {len(chunk)}: {dt:.3f}s "
-                f"({dt / len(chunk):.3f}s/image end-to-end)"
-            )
+            if text_embeds is not None:
+                tkw = {
+                    "prompt_embeds": put(jnp.asarray(
+                        np.stack([text_embeds[f][0] for f in proc]),
+                        pipeline.dtype,
+                    )),
+                    "pooled_prompt_embeds": put(jnp.asarray(
+                        np.stack([text_embeds[f][1] for f in proc]),
+                        pipeline.dtype,
+                    )),
+                }
+            else:
+                tkw = {"prompt": prompts}
+            with mesh_context(mesh):
+                out = sampling.generate(
+                    pipeline,
+                    condition_type=args.condition_type,
+                    cond_tokens=cond_tokens,
+                    cond_ids=cond_ids,
+                    height=size,
+                    width=size,
+                    num_inference_steps=args.steps,
+                    guidance_scale=args.guidance,
+                    seed=args.seed,
+                    latents=latents,
+                    use_brain_condition=bool(kw),
+                    fuse_flag=args.fuse,
+                    neural_only=args.neural_only,
+                    output_type="uint8",
+                    # chunked decode would serialize a SHARDED batch axis;
+                    # under pure tensor parallelism (n_data == 1) the batch
+                    # axis is unsharded and chunking stays valid (and is what
+                    # caps the batched VAE-decode memory)
+                    decode_chunk=(
+                        None if n_data > 1
+                        else getattr(args, "decode_chunk", None)
+                    ),
+                    **tkw,
+                    **kw,
+                )
+            for fname, arr in zip(chunk, out):  # padded rows fall off the zip
+                out_path = os.path.join(args.output_dir, fname)
+                Image.fromarray(arr).save(out_path)
+                done += 1
+                print(f"[infer] [{done}/{len(files)}] {out_path}")
+            dt = _time.time() - t0
+            times.extend([dt / len(chunk)] * len(chunk))
+            if getattr(args, "timing", False):
+                print(
+                    f"[infer] group of {len(chunk)}: {dt:.3f}s "
+                    f"({dt / len(chunk):.3f}s/image end-to-end)"
+                )
     if getattr(args, "timing", False) and times:
         times.sort()
         p50 = times[len(times) // 2]
@@ -376,6 +530,15 @@ def main(argv=None):
                         "PNG write) and the p50 across the run")
     parser.add_argument("--fuse", action="store_true",
                         help="DUAN-fuse brain+text instead of replacing")
+    parser.add_argument("--staged_text", action="store_true",
+                        help="batch mode: encode ALL prompts up front with "
+                        "only T5/CLIP resident, free them, then load the "
+                        "DiT and run the groups on precomputed embeds — "
+                        "the 12B fuse-mode staging recipe (docs/WEIGHTS.md; "
+                        "the int8 DiT and int8 T5-XXL cannot be co-resident "
+                        "on one ~16 GB chip).  Combine with "
+                        "--components flux,vae[,encoders,dgf] so the second "
+                        "load stages the encoders out")
     parser.add_argument("--neural_only", action="store_true",
                         help="allow running without text tokenizers (zero "
                         "text embeds; brain embeds replace them)")
@@ -412,9 +575,25 @@ def main(argv=None):
         tuple(c.strip() for c in args.components.split(",") if c.strip())
         if args.components else None
     )
+    captions = load_captions(args.caption_path)
+    text_embeds = None
+    if args.staged_text:
+        # phase 1 BEFORE the DiT load: text encoders get the whole chip
+        if not args.input_dir:
+            parser.error("--staged_text applies to directory batch mode "
+                         "(--input_dir)")
+        text_embeds = staged_text_encode(
+            args.checkpoint, list_images(args.input_dir), captions,
+            args.prompt, int8=args.int8,
+        )
     pipeline = LoongXPipeline.from_pretrained(
         args.checkpoint, components=components
     )
+    if args.staged_text and components is None:
+        # prompts are already embedded; keep the encoders off the device.
+        # (At the 12B scale pass --components so they are never restored —
+        # this fallback still pays their load-time peak.)
+        pipeline.free_text_encoders()
     if args.tensor > 1 and _tree_has_key(
         pipeline.params.get("flux", {}), "to_qkv"
     ):
@@ -423,6 +602,16 @@ def main(argv=None):
             "(fused qkv): the TP sharding rules address the unfused "
             "projection axes.  Re-convert without --serving for "
             "tensor-parallel serving."
+        )
+    if args.lora and _tree_has_key(pipeline.params.get("flux", {}), "to_qkv"):
+        # ADVICE r4: attaching LoRA to a serving-baked (fused-qkv)
+        # checkpoint would die later with a raw KeyError from
+        # load_lora_state_dict — adapters address to_q/to_k/to_v
+        # individually
+        parser.error(
+            "--lora on a checkpoint with baked serving transforms (fused "
+            "qkv): LoRA adapters address the unfused q/k/v projections.  "
+            "Re-convert without --serving to serve with LoRA."
         )
     if args.int8 and _tree_has_key(pipeline.params.get("flux", {}), "kernel_q"):
         # checkpoint was converted with --quantize: kernel_q leaves restore
@@ -470,7 +659,6 @@ def main(argv=None):
         name, path = spec.split("=", 1) if "=" in spec else (None, spec)
         _attach_lora(pipeline, path, name)
     brain_data = load_brain_data(args.brain_data_path)
-    captions = load_captions(args.caption_path)
     if brain_data and not (
         "encoders" in pipeline.params and "dgf" in pipeline.params
     ):
@@ -499,7 +687,8 @@ def main(argv=None):
         img.save(out)
         print(f"[infer] saved {out}")
     elif args.input_dir:
-        batch_edit(pipeline, args, brain_data, captions)
+        batch_edit(pipeline, args, brain_data, captions,
+                   text_embeds=text_embeds)
     else:
         parser.error("provide --single_image + --prompt, or --input_dir")
 

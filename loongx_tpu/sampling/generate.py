@@ -157,11 +157,36 @@ def encode_brain_conditions(
     return _brain_encode_jit(enc, dgf, eeg, ppg, fnirs, motion, s4_mode)
 
 
+def _apply_adapter_policy(pipeline, ctype: str) -> None:
+    """Per-condition-type adapter switch (reference generate.py:279
+    ``pipeline.set_adapters(conditions[0].condition_type)``).  Unlike peft's
+    set_adapters, an unregistered condition type falls back to the base
+    model (adapters deactivated) instead of raising after an expensive
+    model load."""
+    if pipeline.adapters is None:
+        return
+    if ctype in pipeline.adapters:
+        pipeline.set_adapters(ctype)
+    elif pipeline.active_adapter is not None:
+        # invariant: with no active adapter the tree is deactivated
+        # (registration stores adapters with zeroed scales)
+        pipeline.params["flux"] = pipeline.adapters.deactivate(
+            pipeline.params["flux"]
+        )
+        pipeline.active_adapter = None
+        print(
+            f"[generate] no adapter registered for {ctype!r} — "
+            f"running base weights (available: "
+            f"{pipeline.adapters.names()})"
+        )
+
+
 def generate(
     pipeline,
     prompt: Union[str, Sequence[str], None] = None,
     conditions: Optional[List[Condition]] = None,
     *,
+    condition_type: Optional[str] = None,
     height: int = 512,
     width: int = 512,
     num_inference_steps: int = 28,
@@ -194,6 +219,12 @@ def generate(
     ``fuse_flag=False`` replaces text embeds with brain embeds (the deployed
     inference mode, inference.py:115); ``fuse_mode`` selects the documented
     train-vs-infer DUAN wiring (SURVEY §2b asymmetry).
+
+    ``condition_type`` drives the named-adapter switch on the precomputed
+    ``cond_tokens`` path (with ``conditions`` the Condition's own type is
+    used and this argument is ignored) — the reference applies
+    ``set_adapters(condition_type)`` on every generate call
+    (generate.py:279).
 
     ``decode_chunk`` bounds how many images the VAE decoder sees at once:
     on a single chip serving the int8 12B DiT, batched 512² decoder
@@ -467,26 +498,7 @@ def generate(
     if conditions:
         if len(conditions) > 1:
             raise NotImplementedError("only one condition supported (parity)")
-        # per-condition-type adapter switch (reference generate.py:279).
-        # Unlike peft's set_adapters, an unregistered condition type falls
-        # back to the base model (adapters deactivated) instead of raising
-        # after an expensive model load.
-        if pipeline.adapters is not None:
-            ctype = conditions[0].condition_type
-            if ctype in pipeline.adapters:
-                pipeline.set_adapters(ctype)
-            elif pipeline.active_adapter is not None:
-                # invariant: with no active adapter the tree is deactivated
-                # (registration stores adapters with zeroed scales)
-                pipeline.params["flux"] = pipeline.adapters.deactivate(
-                    pipeline.params["flux"]
-                )
-                pipeline.active_adapter = None
-                print(
-                    f"[generate] no adapter registered for {ctype!r} — "
-                    f"running base weights (available: "
-                    f"{pipeline.adapters.names()})"
-                )
+        _apply_adapter_policy(pipeline, conditions[0].condition_type)
         if conditions[0].condition is not None:
             toks, ids, _type_ids = conditions[0].encode(pipeline, key=k_enc)
             cond_tokens = jnp.broadcast_to(
@@ -507,6 +519,12 @@ def generate(
         # image) — its signals were lifted into the brain path above; there
         # are no latent tokens to attach
     elif cond_tokens is not None:
+        if condition_type is not None:
+            # precomputed-token batch path (cli/infer.batch_edit): the
+            # per-condition-type adapter switch applies here too — without
+            # it, registered adapters would silently serve BASE weights in
+            # directory batch mode (round-4 VERDICT Missing #2)
+            _apply_adapter_policy(pipeline, condition_type)
         if cond_ids is None:
             raise ValueError(
                 "cond_tokens given without cond_ids — precomputed condition "
@@ -718,14 +736,7 @@ def neural_edit(
             "signal pairs require pairwise DGF fusion (partial checkpoint?)"
         )
     # per-condition-type adapter switch, same policy as generate()
-    if pipeline.adapters is not None:
-        if condition_type in pipeline.adapters:
-            pipeline.set_adapters(condition_type)
-        elif pipeline.active_adapter is not None:
-            pipeline.params["flux"] = pipeline.adapters.deactivate(
-                pipeline.params["flux"]
-            )
-            pipeline.active_adapter = None
+    _apply_adapter_policy(pipeline, condition_type)
 
     from loongx_tpu.sampling.condition import _to_numpy_image
 

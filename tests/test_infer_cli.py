@@ -133,6 +133,7 @@ def test_batch_edit_really_shards(tiny_pipe, tmp_path, monkeypatch):
     # on the UNSHARDED pipeline (batch_edit's documented equivalence) ----
     from loongx_tpu.sampling import generate
 
+    k_lat, k_enc = jax.random.split(jax.random.key(0))
     conds = []
     for fname in names:
         img = Image.open(os.path.join(in_dir, fname)).convert("RGB").resize(
@@ -140,17 +141,19 @@ def test_batch_edit_really_shards(tiny_pipe, tmp_path, monkeypatch):
         )
         cimg = synthesize_condition_image("subject", img)
         arr = np.asarray(cimg, np.float32)[None] / 127.5 - 1.0
-        toks, h, w = tiny_pipe.encode_image_tokens(jnp.asarray(arr))
+        toks, h, w = tiny_pipe.encode_image_tokens(jnp.asarray(arr), key=k_enc)
         conds.append(np.asarray(toks[0]))
     cond_tokens = jnp.asarray(np.stack(conds))
     cond_ids = shift_ids(latent_image_ids(h, w), (0, -1))
     vs = tiny_pipe.vae_cfg.downscale
     lat_h = lat_w = 16 // vs
-    k_lat, _ = jax.random.split(jax.random.key(0))
-    latents = jax.random.normal(
-        k_lat, (8, lat_h // 2, lat_w // 2, tiny_pipe.flux_cfg.in_channels),
+    # batch_edit gives every image the SAME config-seed noise (reference
+    # reseeds per image, inference.py:83-84)
+    latents = jnp.tile(jax.random.normal(
+        k_lat, (1, lat_h // 2, lat_w // 2, tiny_pipe.flux_cfg.in_channels),
         jnp.float32,
-    ).reshape(8, (lat_h // 2) * (lat_w // 2), tiny_pipe.flux_cfg.in_channels)
+    ).reshape(1, (lat_h // 2) * (lat_w // 2), tiny_pipe.flux_cfg.in_channels),
+        (8, 1, 1))
     expected = generate(
         tiny_pipe, prompt=["edit"] * 8, cond_tokens=cond_tokens,
         cond_ids=cond_ids, height=16, width=16, num_inference_steps=2,
@@ -415,3 +418,427 @@ def test_edit_one_brain_fast_path(tiny_pipe, tmp_path, monkeypatch):
     )
     assert img.size == (16, 16)
     assert called.get("yes"), "fast path not taken"
+
+
+# ---------------------------------------------------------------------------
+# Round 5: reference-parity semantics of the directory batch mode
+# (VERDICT r4 Missing #2/#3/#5) — adapters activate per condition type,
+# biosignals are per-image, and per-image output is independent of grouping.
+# ---------------------------------------------------------------------------
+
+
+def _mk_args(in_dir, out_dir, **kw):
+    class Args:
+        input_dir = str(in_dir)
+        output_dir = str(out_dir)
+        condition_type = "subject"
+        target_size = 16
+        position_delta_x = 0
+        position_delta_y = -1
+        seed = 0
+        prompt = "edit"
+        fuse = False
+        neural_only = False
+        steps = 2
+        guidance = 3.5
+        batch_size = None
+        tensor = 1
+        timing = False
+
+    for k, v in kw.items():
+        setattr(Args, k, v)
+    return Args
+
+
+def test_batch_seed_and_composition_parity(tiny_pipe, tmp_path):
+    """The same image must produce the SAME output at any --batch_size and
+    any directory composition, and match the --single_image path — the
+    reference reseeds a fresh generator per image (inference.py:83-84), so
+    results never depend on grouping (VERDICT r4 Missing #5)."""
+    from PIL import Image
+
+    from loongx_tpu.cli.infer import batch_edit, edit_one
+
+    in3, names = _make_inputs(tmp_path, 3)
+    in1 = tmp_path / "in1"
+    in1.mkdir()
+    img0 = names[0]
+    Image.open(os.path.join(in3, img0)).save(in1 / img0)
+
+    outs = {}
+    for tag, in_dir, bs in (
+        ("alone", in1, None),
+        ("grouped", in3, None),
+        ("bs1", in3, 1),
+        ("bs4", in3, 4),
+    ):
+        out_dir = tmp_path / f"out_{tag}"
+        batch_edit(tiny_pipe, _mk_args(in_dir, out_dir, batch_size=bs),
+                   {}, {})
+        outs[tag] = np.asarray(Image.open(out_dir / img0))
+    for tag in ("grouped", "bs1", "bs4"):
+        np.testing.assert_array_equal(
+            outs["alone"], outs[tag],
+            err_msg=f"output of {img0} depends on grouping ({tag})",
+        )
+    # and the single-image path produces the same edit
+    single = np.asarray(edit_one(
+        tiny_pipe, os.path.join(in3, img0), "edit",
+        condition_type="subject", target_size=16, position_delta=(0, -1),
+        seed=0, num_steps=2,
+    ))
+    diff = np.abs(single.astype(np.int32) - outs["alone"].astype(np.int32))
+    assert diff.max() <= 1 and diff.mean() < 0.05, (diff.max(), diff.mean())
+
+
+def test_batch_per_image_brain(tiny_pipe, tmp_path, monkeypatch, capsys):
+    """Biosignals are looked up per image (reference inference.py:99-115):
+    covered images get brain conditioning, uncovered ones run text-only with
+    a visible warning, and a PPG without its EEG partner is dropped with a
+    warning (VERDICT r4 Missing #3)."""
+    import importlib
+
+    from PIL import Image
+
+    from loongx_tpu.cli.infer import batch_edit
+
+    gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+    jd, pd = tiny_pipe.flux_cfg.joint_dim, tiny_pipe.flux_cfg.pooled_dim
+
+    def fake(enc, dgf, eeg, ppg, fnirs, motion, s4_mode):
+        bp = (
+            None if eeg is None
+            else jnp.ones((eeg.shape[0], 8, jd), jnp.float32)
+        )
+        bpool = (
+            None if fnirs is None
+            else jnp.ones((fnirs.shape[0], pd), jnp.float32)
+        )
+        return bp, bpool
+
+    monkeypatch.setattr(gen_mod, "_brain_encode_jit", fake)
+    tiny_pipe.params["encoders"] = {
+        "eeg": {}, "fnirs": {}, "ppg": {}, "motion": {}
+    }
+
+    in_dir, names = _make_inputs(tmp_path, 4)
+    brain = {
+        names[0]: {"EEG": np.zeros((1, 4, 64), np.float32),
+                   "FNIRS": np.zeros((1, 6, 32), np.float32)},
+        names[1]: {"EEG": np.zeros((1, 4, 64), np.float32)},
+        # names[2]: no entry at all
+        names[3]: {"PPG": np.zeros((1, 4, 32), np.float32)},  # partnerless
+    }
+
+    out_b = tmp_path / "out_brain"
+    batch_edit(tiny_pipe, _mk_args(in_dir, out_b), brain, {})
+    msgs = capsys.readouterr().out
+    assert f"{names[2]}: no EEG/fNIRS" in msgs
+    assert f"{names[3]}: PPG present without EEG" in msgs
+    assert f"{names[3]}: no EEG/fNIRS" in msgs
+
+    out_n = tmp_path / "out_nobrain"
+    batch_edit(tiny_pipe, _mk_args(in_dir, out_n), {}, {})
+
+    def arr(d, f):
+        return np.asarray(Image.open(d / f)).astype(np.int32)
+
+    # covered images got brain conditioning (differ from the no-brain run)
+    for f in (names[0], names[1]):
+        assert np.abs(arr(out_b, f) - arr(out_n, f)).max() > 1, f
+    # uncovered images are the plain text edit
+    for f in (names[2], names[3]):
+        np.testing.assert_array_equal(arr(out_b, f), arr(out_n, f))
+
+
+def test_main_batch_named_adapter_activates(tiny_pipe, tmp_path, monkeypatch):
+    """VERDICT r4 Missing #2: a named adapter registered with
+    --lora subject=... must ACTIVATE in directory batch mode (the reference
+    applies set_adapters per generate call, generate.py:279): batch outputs
+    must differ from the base run, match the --single_image adapter path,
+    and an unmatched adapter name must fall back to base weights."""
+    import importlib
+
+    from PIL import Image
+
+    from loongx_tpu.cli import infer as infer_mod
+    from loongx_tpu.train.lora import add_lora, _walk_linears
+    from loongx_tpu.utils.checkpoint import save_lora_safetensors, save_pipeline
+
+    gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+    jd, pd = tiny_pipe.flux_cfg.joint_dim, tiny_pipe.flux_cfg.pooled_dim
+
+    def fake(enc, dgf, eeg, ppg, fnirs, motion, s4_mode):
+        b = eeg.shape[0]
+        return (jnp.ones((b, 8, jd), jnp.float32),
+                jnp.ones((b, pd), jnp.float32))
+
+    monkeypatch.setattr(gen_mod, "_brain_encode_jit", fake)
+
+    pipe = tiny_pipe
+    pipe.params["encoders"] = {
+        k: {"w": jnp.zeros((1,))} for k in ("eeg", "fnirs")
+    }
+    pipe.params["dgf"] = {"w": jnp.zeros((1,))}
+    ckpt = str(tmp_path / "ckpt")
+    save_pipeline(pipe, ckpt)
+
+    # a LoRA with NONZERO effect (add_lora inits lora_b = 0)
+    lora_tree = add_lora(jax.random.key(1), pipe.params["flux"],
+                         r=2, alpha=2, dtype=jnp.float32)
+    for path, leaf in _walk_linears(lora_tree):
+        if "lora_b" in leaf:
+            leaf["lora_b"] = jax.random.normal(
+                jax.random.key(hash(path) % (2**31)), leaf["lora_b"].shape,
+                jnp.float32,
+            ) * 0.3
+    lora_dir = tmp_path / "lora"
+    save_lora_safetensors(lora_tree, str(lora_dir))
+
+    in_dir, names = _make_inputs(tmp_path, 2)
+    pkl = tmp_path / "brain.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({n: {
+            "EEG": np.zeros((1, 4, 64), np.float32),
+            "FNIRS": np.zeros((1, 6, 32), np.float32),
+        } for n in names}, f)
+
+    base = [
+        "--checkpoint", ckpt,
+        "--condition_type", "subject",
+        "--neural_only",
+        "--brain_data_path", str(pkl),
+        "--steps", "2",
+        "--target_size", "16",
+        "--position_delta_y", "-1",
+        "--seed", "0",
+    ]
+
+    def run(tag, extra):
+        out_dir = tmp_path / f"out_{tag}"
+        infer_mod.main(base + ["--input_dir", in_dir,
+                               "--output_dir", str(out_dir)] + extra)
+        return {
+            n: np.asarray(Image.open(out_dir / n)).astype(np.int32)
+            for n in names
+        }
+
+    out_base = run("base", [])
+    out_adpt = run("adpt", ["--lora", f"subject={lora_dir}"])
+    out_miss = run("miss", ["--lora", f"canny={lora_dir}"])
+
+    for n in names:
+        assert np.abs(out_adpt[n] - out_base[n]).max() > 1, (
+            f"{n}: registered adapter did not activate in batch mode"
+        )
+        np.testing.assert_array_equal(
+            out_miss[n], out_base[n],
+            err_msg=f"{n}: unmatched adapter name must serve base weights",
+        )
+
+    # the batch adapter edit equals the --single_image adapter path
+    single_out = tmp_path / "out_single"
+    infer_mod.main(base + [
+        "--single_image", os.path.join(in_dir, names[0]),
+        "--prompt", "",
+        "--output_dir", str(single_out),
+        "--lora", f"subject={lora_dir}",
+    ])
+    single = np.asarray(Image.open(single_out / names[0])).astype(np.int32)
+    diff = np.abs(single - out_adpt[names[0]])
+    # the single path runs the fused_edit_program (one jit) at batch 1, the
+    # batch path the sharded 8-padded generate — same math, different XLA
+    # program structure, so allow fp-rounding drift (vs the >1 adapter
+    # effect asserted above)
+    assert diff.max() <= 2 and diff.mean() < 0.5, (diff.max(), diff.mean())
+
+
+def test_staged_fuse_equals_resident(tiny_pipe, tmp_path, monkeypatch):
+    """VERDICT r4 Weak #2: the staged fuse recipe (encode all prompts with
+    only T5/CLIP resident -> free them -> run groups on precomputed embeds)
+    must equal the resident fuse run bit-for-bit at tiny geometry."""
+    import dataclasses
+    import importlib
+
+    from PIL import Image
+
+    from loongx_tpu.cli.infer import batch_edit, staged_text_encode
+    from loongx_tpu.models.fusion import init_duan
+    from loongx_tpu.models.pipeline import LoongXPipeline
+
+    gen_mod = importlib.import_module("loongx_tpu.sampling.generate")
+    jd, pd = tiny_pipe.flux_cfg.joint_dim, tiny_pipe.flux_cfg.pooled_dim
+
+    def fake(enc, dgf, eeg, ppg, fnirs, motion, s4_mode):
+        b = eeg.shape[0]
+        return (jnp.ones((b, 8, jd), jnp.float32) * 0.5,
+                jnp.ones((b, pd), jnp.float32) * 0.5)
+
+    monkeypatch.setattr(gen_mod, "_brain_encode_jit", fake)
+
+    # a DGF sized for the tiny pipeline's 8-token prompts (the full-size one
+    # is fixed at 512 tokens); fuse_text_infer only reads duan_prompt/pooled
+    ks = jax.random.split(jax.random.key(7), 2)
+    tiny_pipe.params["dgf"] = {
+        "duan_prompt": init_duan(ks[0], channels=8, dtype=jnp.float32),
+        "duan_pooled": init_duan(ks[1], channels=1, dtype=jnp.float32),
+    }
+    tiny_pipe.params["encoders"] = {"eeg": {}, "fnirs": {}}
+
+    in_dir, names = _make_inputs(tmp_path, 3)
+    brain = {n: {"EEG": np.zeros((1, 4, 64), np.float32),
+                 "FNIRS": np.zeros((1, 6, 32), np.float32)}
+             for n in names}
+    captions = {n: f"edit {n}" for n in names}
+
+    # resident: prompts encoded inside generate() per group
+    out_res = tmp_path / "out_resident"
+    batch_edit(tiny_pipe, _mk_args(in_dir, out_res, fuse=True),
+               brain, captions)
+
+    # staged: a text-only pipeline encodes everything up front, then the
+    # DiT runs WITHOUT t5/clip in params
+    text_pipe = LoongXPipeline(
+        flux_cfg=tiny_pipe.flux_cfg, vae_cfg=tiny_pipe.vae_cfg,
+        t5_cfg=tiny_pipe.t5_cfg, clip_cfg=tiny_pipe.clip_cfg,
+        params={"t5": tiny_pipe.params["t5"],
+                "clip": tiny_pipe.params["clip"]},
+        dtype=tiny_pipe.dtype,
+        t5_tokenizer=tiny_pipe.t5_tokenizer,
+        clip_tokenizer=tiny_pipe.clip_tokenizer,
+        max_sequence_length=8,
+    )
+    monkeypatch.setattr(
+        LoongXPipeline, "from_pretrained",
+        staticmethod(lambda path, **kw: text_pipe),
+    )
+    embeds = staged_text_encode("unused", names, captions, None, chunk=2)
+    assert set(embeds) == set(names)
+
+    dit_pipe = dataclasses.replace(
+        tiny_pipe,
+        params={k: v for k, v in tiny_pipe.params.items()
+                if k not in ("t5", "clip")},
+        t5_tokenizer=None, clip_tokenizer=None,
+    )
+    out_staged = tmp_path / "out_staged"
+    batch_edit(dit_pipe, _mk_args(in_dir, out_staged, fuse=True),
+               brain, captions, text_embeds=embeds)
+
+    for n in names:
+        got = np.asarray(Image.open(out_staged / n)).astype(np.int32)
+        exp = np.asarray(Image.open(out_res / n)).astype(np.int32)
+        diff = np.abs(got - exp)
+        assert diff.max() <= 1 and diff.mean() < 0.05, (
+            n, diff.max(), diff.mean()
+        )
+
+
+def test_main_tensor_parallel_batch(tiny_pipe, tmp_path, monkeypatch):
+    """VERDICT r4 Weak #3: --tensor 2 through main() producing correct PNGs
+    — the quantized TP serving path (int8 + tp_layout qkv + group padding +
+    mesh_context) vs the same checkpoint served single-axis."""
+    from PIL import Image
+
+    from loongx_tpu.cli import infer as infer_mod
+    from loongx_tpu.utils.checkpoint import save_pipeline
+
+    assert len(jax.devices()) == 8
+    ckpt = str(tmp_path / "ckpt")
+    save_pipeline(tiny_pipe, ckpt)
+    # the fake tokenizers are not persisted by save_pipeline — reattach
+    real_fp = LoongXPipeline.from_pretrained
+
+    def fp(path, **kw):
+        p = real_fp(path, **kw)
+        p.t5_tokenizer = FakeTokenizer(p.t5_cfg.vocab_size, 8)
+        p.clip_tokenizer = FakeTokenizer(p.clip_cfg.vocab_size, 8)
+        p.max_sequence_length = 8
+        return p
+
+    monkeypatch.setattr(LoongXPipeline, "from_pretrained", staticmethod(fp))
+    in_dir, names = _make_inputs(tmp_path, 4)
+    cap = tmp_path / "caps.jsonl"
+    with open(cap, "w") as f:
+        for n in names:
+            f.write(json.dumps({"source_image": n,
+                                "instruction": f"edit {n}"}) + "\n")
+
+    base = [
+        "--checkpoint", ckpt,
+        "--input_dir", in_dir,
+        "--caption_path", str(cap),
+        "--condition_type", "subject",
+        "--int8",
+        "--steps", "2",
+        "--target_size", "16",
+        "--position_delta_y", "-1",
+        "--seed", "0",
+        "--batch_size", "4",
+    ]
+
+    def run(tag, extra):
+        out_dir = tmp_path / f"out_{tag}"
+        infer_mod.main(base + ["--output_dir", str(out_dir)] + extra)
+        assert sorted(os.listdir(out_dir)) == sorted(names)
+        return {
+            n: np.asarray(Image.open(out_dir / n)).astype(np.int32)
+            for n in names
+        }
+
+    out_dp = run("dp", [])               # data axis 8
+    out_tp = run("tp", ["--tensor", "2"])  # mesh (data 4, tensor 2)
+    for n in names:
+        # row-parallel TP reassociates the K-axis partial sums (psum) AND
+        # the two runs use different exact int8 layouts (DP: serving-fused
+        # qkv + split proj_out; TP: tp_layout qkv, whole proj_out), so
+        # uint8 rounding drifts by a few counts vs the replicated run —
+        # far below any real weight/sharding bug (tens of counts)
+        diff = np.abs(out_tp[n] - out_dp[n])
+        assert diff.max() <= 5 and diff.mean() < 0.5, (
+            n, diff.max(), diff.mean()
+        )
+
+
+def test_main_lora_on_baked_checkpoint_fails_fast(tiny_pipe, tmp_path):
+    """ADVICE r4: --lora on a convert --serving checkpoint (fused qkv) must
+    parser.error instead of dying later with a raw KeyError."""
+    from loongx_tpu.cli import infer as infer_mod
+    from loongx_tpu.ops.quant import (
+        fuse_qkv_projections, quantize_tree, split_single_proj_out,
+    )
+    from loongx_tpu.utils.checkpoint import save_pipeline
+
+    pipe = tiny_pipe
+    flux = quantize_tree(pipe.params["flux"])
+    flux = fuse_qkv_projections(flux, consume=True)
+    flux = split_single_proj_out(flux, pipe.flux_cfg.hidden, consume=True)
+    pipe.params["flux"] = flux
+    ckpt = str(tmp_path / "ckpt")
+    save_pipeline(pipe, ckpt)
+    in_dir, names = _make_inputs(tmp_path, 1)
+    with pytest.raises(SystemExit):
+        infer_mod.main([
+            "--checkpoint", ckpt,
+            "--int8",
+            "--single_image", os.path.join(in_dir, names[0]),
+            "--prompt", "",
+            "--output_dir", str(tmp_path / "out"),
+            "--lora", str(tmp_path / "whatever"),
+        ])
+
+
+def test_batch_neural_only_partial_coverage_fails_fast(tiny_pipe, tmp_path):
+    """--neural_only with images lacking EEG+FNIRS coverage must fail with
+    a named error BEFORE any compute (no text embeds back a missing slot)."""
+    from loongx_tpu.cli.infer import batch_edit
+
+    in_dir, names = _make_inputs(tmp_path, 3)
+    brain = {names[0]: {"EEG": np.zeros((1, 4, 64), np.float32),
+                        "FNIRS": np.zeros((1, 6, 32), np.float32)}}
+    with pytest.raises(SystemExit, match="EEG\\+FNIRS"):
+        batch_edit(
+            tiny_pipe,
+            _mk_args(in_dir, tmp_path / "out", neural_only=True),
+            brain, {},
+        )
