@@ -134,11 +134,12 @@ def synth_flux(dirname, nd, ns, h=3072, mlp=12288, joint=4096, pooled=768,
     flush()
 
 
-def synth_t5(dirname, layers, d=4096, inner=4096, ff=10240, vocab=32128):
+def synth_t5(dirname, layers, d=4096, inner=4096, ff=10240, vocab=32128,
+             heads=64):
     add, flush = _writer(dirname)
     add("shared.weight", (vocab, d))
     add("encoder.block.0.layer.0.SelfAttention"
-        ".relative_attention_bias.weight", (32, 64))
+        ".relative_attention_bias.weight", (32, heads))
     for i in range(layers):
         p = f"encoder.block.{i}"
         add(f"{p}.layer.0.layer_norm.weight", (d,), 1.0)

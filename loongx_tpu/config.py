@@ -110,6 +110,13 @@ class TrainConfig:
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     wandb: Optional[Dict[str, Any]] = None
     seed: int = 42
+    # Stage text encoding: pre-encode every prompt the dataset can emit
+    # with ONLY the T5/CLIP encoders resident, free them, then load the DiT
+    # and train on the cached embeds.  Required at the 12B scale on one
+    # ~14 GiB chip (int8 flux at 11.1 GiB + int8 T5-XXL at ~4.7 GiB cannot
+    # be co-resident); numerically identical to resident encoding
+    # (tests/test_train_loop.py::test_staged_text_matches_resident).
+    staged_text: bool = False
     # Train the CS3 biosignal encoders + DGF fusion alongside the LoRA.
     # Default False replicates the reference's released-code behavior: its
     # optimizer sees only lora_layers (model.py:533-543), so encoder grads

@@ -75,6 +75,15 @@ class SeedDataset:
     def __len__(self):
         return len(self.samples)
 
+    def descriptions(self) -> List[str]:
+        """Every description string this dataset can emit — cheap (no image
+        decode).  Consumed by the staged-text train path (train/loop.py) to
+        pre-encode all prompts before the text encoders are freed."""
+        return [
+            item.get("speech2text") or item.get("instruction", "")
+            for item in self.samples
+        ]
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         from PIL import Image
 

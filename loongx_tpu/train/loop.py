@@ -54,14 +54,61 @@ def train(
     np.random.seed(tcfg.seed)
     run_name = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
 
-    if pipeline is None:
-        pipeline = LoongXPipeline.from_pretrained(config.flux_path)
     if dataset is None:
         dataset = build_dataset(tcfg)
 
-    # mesh: all devices data-parallel (+ optional tensor axis from config)
+    # staged text encoding (train.staged_text): encode ALL dataset prompts
+    # with only T5/CLIP resident, free them, then bring in the DiT — the
+    # training mirror of the 12B serving staging (cli/infer.py
+    # staged_text_encode); see build_text_cache for why this is required at
+    # full scale and why it is numerically free
+    text_cache = None
+    if tcfg.staged_text:
+        from loongx_tpu.train.prepare import build_text_cache
+
+        descs = (
+            dataset.descriptions() if hasattr(dataset, "descriptions")
+            else [dataset[i].get("description", "")
+                  for i in range(len(dataset))]
+        )
+        if pipeline is None:
+            import gc
+
+            text_pipe = LoongXPipeline.from_pretrained(
+                config.flux_path, components=("t5", "clip")
+            )
+            text_cache = build_text_cache(text_pipe, descs)
+            text_pipe.free_text_encoders()
+            del text_pipe
+            gc.collect()
+            print(f"[train] staged_text: {len(text_cache[0])} prompts "
+                  "cached; text encoders freed")
+            pipeline = LoongXPipeline.from_pretrained(
+                config.flux_path,
+                components=("flux", "vae", "encoders", "dgf"),
+            )
+        else:
+            # injected pipeline (tests): cache from it, then free
+            text_cache = build_text_cache(pipeline, descs)
+            pipeline.free_text_encoders()
+    elif pipeline is None:
+        pipeline = LoongXPipeline.from_pretrained(config.flux_path)
+
+    # mesh: all devices data-parallel (+ optional tensor axis from config).
+    # ``mesh.data`` pins the data-axis extent to a device SUBSET (e.g.
+    # data: 1 trains single-device on a multi-device host — the tiny CPU
+    # rehearsal uses this; unset = all devices).
     tensor = int(config.mesh.get("tensor", 1)) if config.mesh else 1
-    mesh = make_mesh(data=-1, tensor=tensor)
+    data = int(config.mesh.get("data", 0)) if config.mesh else 0
+    devices = jax.devices()
+    if data > 0:
+        if data * tensor > len(devices):
+            raise RuntimeError(
+                f"config mesh {data}x{tensor} needs {data * tensor} devices; "
+                f"{len(devices)} available"
+            )
+        devices = devices[: data * tensor]
+    mesh = make_mesh(data=-1, tensor=tensor, devices=devices)
 
     # LoRA injection (reference init_lora, model.py:513-524)
     lcfg = tcfg.lora_config
@@ -264,6 +311,7 @@ def train(
             batch = prepare_batch(
                 pipeline, host_batch,
                 position_scale=tcfg.dataset.position_scale,
+                text_cache=text_cache,
             )
             yield shard_batch(batch, mesh)
 

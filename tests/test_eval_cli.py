@@ -125,6 +125,108 @@ def test_eval_cli_jax_backend_end_to_end(hf_clip_dir, eval_dirs, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "per_image_metrics.csv"))
 
 
+class FakeTokenizer:
+    def __init__(self, vocab_size, max_len):
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+
+    def __call__(self, prompts, padding=None, max_length=None,
+                 truncation=None, return_tensors=None):
+        max_length = max_length or self.max_len
+        ids = np.zeros((len(prompts), max_length), np.int32)
+        for i, p in enumerate(prompts):
+            for j, ch in enumerate(p[:max_length]):
+                ids[i, j] = (ord(ch) + j) % self.vocab_size
+
+        class R:
+            input_ids = ids
+
+        return R()
+
+
+def test_parity_runbook_tiny(hf_clip_dir, tmp_path, monkeypatch):
+    """Drives the FULL quality-parity runbook (cli/parity.py) on tiny
+    synthetic weights: stage the L-Mind test split -> sharded batch infer ->
+    evaluate with the JAX CLIP towers -> compare against targets.  On a
+    weights-host the identical command with real weights is the parity run
+    against the reference's CLIP-I 0.6605 / CLIP-T 0.2588 (VERDICT r4 #5)."""
+    import jax
+    from PIL import Image
+
+    from loongx_tpu.cli import parity as parity_cli
+    from loongx_tpu.cli.convert import main as convert_main
+    from loongx_tpu.models.pipeline import LoongXPipeline
+    from loongx_tpu.utils.checkpoint import save_pipeline
+
+    pipe = LoongXPipeline.tiny(jax.random.key(0))
+    ckpt = str(tmp_path / "ckpt")
+    save_pipeline(pipe, ckpt)
+    # save_pipeline doesn't persist the fake tokenizers — reattach on load
+    real_fp = LoongXPipeline.from_pretrained
+
+    def fp(path, **kw):
+        p = real_fp(path, **kw)
+        p.t5_tokenizer = FakeTokenizer(p.t5_cfg.vocab_size, 8)
+        p.clip_tokenizer = FakeTokenizer(p.clip_cfg.vocab_size, 8)
+        p.max_sequence_length = 8
+        return p
+
+    monkeypatch.setattr(LoongXPipeline, "from_pretrained", staticmethod(fp))
+
+    # L-Mind-layout test split: <stem>_0 source / <stem>_1 ground truth
+    data = tmp_path / "data"
+    (data / "imgs").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(2):
+        for tag in (0, 1):
+            Image.fromarray(
+                rng.randint(0, 255, (16, 16, 3), np.uint8)
+            ).save(data / "imgs" / f"s{i}_{tag}.png")
+        rows.append({"source_image": f"imgs/s{i}_0.png",
+                     "target_image": f"imgs/s{i}_1.png",
+                     "instruction": f"edit number {i}"})
+    jsonl = str(data / "test.jsonl")
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    bundle = str(tmp_path / "eval_clip")
+    convert_main(["--eval_clip", hf_clip_dir, "--out", bundle])
+
+    out = str(tmp_path / "parity")
+    common = [
+        "--checkpoint", ckpt,
+        "--test_jsonl", jsonl,
+        "--image_dir", str(data),
+        "--jax_clip_path", bundle,
+        "--out", out,
+        "--mode", "neural_speech",
+        "--steps", "1",
+        "--target_size", "16",
+    ]
+    # tiny random weights can't hit quality targets — a wide tolerance
+    # asserts the PLUMBING end to end; real runs keep the 0.005 default
+    verdict = parity_cli.main(common + ["--tolerance", "2.0"])
+    assert verdict["parity"] is True
+    assert verdict["clip_i"]["pass"] and verdict["clip_t_gen"]["pass"]
+    assert sorted(os.listdir(os.path.join(out, "outputs"))) == [
+        "s0_0.png", "s1_0.png"
+    ]
+    assert os.path.exists(os.path.join(out, "parity.json"))
+    assert os.path.exists(
+        os.path.join(out, "eval", "evaluation_metrics.txt")
+    )
+
+    # re-evaluate an existing outputs dir + the FAIL branch: an impossible
+    # target must exit non-zero
+    with pytest.raises(SystemExit):
+        parity_cli.main(common + [
+            "--skip_generate", "--tolerance", "0.000001",
+            "--target_clip_i", "9.9",
+        ])
+
+
 def test_eval_cli_jax_matches_torch_backend(hf_clip_dir, eval_dirs, tmp_path):
     """The in-framework towers and HF torch must score identically on
     resize-invariant images (same weights, same tokenizer)."""

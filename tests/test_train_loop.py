@@ -131,6 +131,30 @@ def _tiny_pipe():
     return pipe
 
 
+def test_staged_text_matches_resident(corpus, tmp_path):
+    """``train.staged_text`` pre-encodes every dataset prompt, frees the
+    text encoders, and trains on the cached embeds (the single-chip 12B
+    recipe — int8 flux + int8 T5-XXL cannot be co-resident).  The loss
+    trajectory must match resident per-batch encoding exactly."""
+    jsonl, root = corpus
+    from loongx_tpu.data import SeedDataset
+
+    dataset = SeedDataset(jsonl, image_dir=root, image_size=16)
+    s_res = train(
+        _tiny_cfg(tmp_path, save_path=str(tmp_path / "runs_res")),
+        pipeline=_tiny_pipe(), dataset=dataset, resume=False, use_wandb=False,
+    )
+    pipe = _tiny_pipe()
+    s_staged = train(
+        _tiny_cfg(tmp_path, save_path=str(tmp_path / "runs_staged"),
+                  staged_text=True),
+        pipeline=pipe, dataset=dataset, resume=False, use_wandb=False,
+    )
+    # the staged run actually freed its text encoders before training
+    assert "t5" not in pipe.params and "clip" not in pipe.params
+    assert s_staged["final_loss"] == s_res["final_loss"]
+
+
 def test_resume_fingerprint_mismatch_refused(corpus, tmp_path):
     """A changed LoRA rank between runs under the same save_path must be
     refused at resume time with a clear error, not fail inside orbax
